@@ -1,0 +1,119 @@
+"""Normalization projections — the Spark restatement of the reference's
+per-source normalizers (/root/reference/internal/merger/normalizer.go:28-310).
+
+Everything stays JVM-side (built-in functions / whole-stage codegen) except
+language detection, which per input_hint runs through a vectorized
+pandas/Arrow UDF (zero per-row Python) — the analog of the reference's
+ecosystem inference (normalizer.go:313-336, gitlab/fetcher.go:291-311).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .hashing import content_sha256
+
+# extension -> language (mirrors ecosystem-slug switch normalizer.go:313-336)
+_EXT_LANG = {
+    "py": "python",
+    "go": "go",
+    "js": "javascript",
+    "ts": "typescript",
+    "rs": "rust",
+    "java": "java",
+    "rb": "ruby",
+    "c": "c",
+    "h": "c",
+    "cpp": "cpp",
+    "md": "markdown",
+    "yaml": "yaml",
+    "yml": "yaml",
+    "json": "json",
+    "txt": "text",
+}
+
+# content-sniff fallbacks, checked in order (first match wins)
+_CONTENT_HINTS = [
+    ("python", ("def ", "import ", "class ")),
+    ("go", ("func ", "package ")),
+    ("javascript", ("function ", "const ", "=>")),
+    ("rust", ("fn ", "let mut ")),
+]
+
+
+@F.pandas_udf(T.StringType())
+def detect_lang_udf(path: pd.Series, content: pd.Series) -> pd.Series:
+    """Vectorized language detection: file extension first, then content
+    sniffing, else 'text'. Arrow-batched; no per-row Python UDF."""
+    ext = path.str.rsplit(".", n=1).str[-1].str.lower()
+    lang = ext.map(_EXT_LANG)
+    missing = lang.isna()
+    if missing.any():
+        c = content[missing].fillna("")
+        sniffed = pd.Series("text", index=c.index)
+        decided = pd.Series(False, index=c.index)
+        for name, needles in _CONTENT_HINTS:
+            hit = pd.Series(False, index=c.index)
+            for n in needles:
+                hit |= c.str.contains(n, regex=False)
+            pick = hit & ~decided
+            sniffed[pick] = name
+            decided |= hit
+        lang[missing] = sniffed
+    return lang.fillna("text")
+
+
+def ecosystem_from_slug(slug: Column | str) -> Column:
+    """First path segment, lowered, mapped through a small dim — the
+    chained-when form of normalizer.go:313-336."""
+    c = F.col(slug) if isinstance(slug, str) else slug
+    seg = F.lower(F.split(c, "/")[0])
+    mapping = F.create_map(*[F.lit(x) for kv in _EXT_LANG.items() for x in kv])
+    return F.coalesce(mapping[seg], F.lit("unknown"))
+
+
+def summary_truncate(details: Column | str, max_len: int = 100) -> Column:
+    """First-sentence-or-100-chars summary
+    (/root/reference/internal/merger/normalizer.go:339-356): if the text fits,
+    keep it; else prefer the first sentence if it fits; else hard-truncate
+    with '...'."""
+    d = F.col(details) if isinstance(details, str) else details
+    first_sentence = F.concat(F.split(d, "\\. ")[0], F.lit("."))
+    return (
+        F.when(F.length(d) <= max_len, d)
+        .when(F.length(first_sentence) <= max_len, first_sentence)
+        .otherwise(F.concat(F.substring(d, 1, max_len - 3), F.lit("...")))
+    )
+
+
+# total order for last-writer-wins: (commit_seq, commit, op) — deterministic
+# at any parallelism (SURVEY.md §7.3 #2)
+LWW_ORDER_COLS = ("commit_seq", "commit", "op")
+
+
+def normalize_events(events: DataFrame) -> DataFrame:
+    """Canonicalize a raw change-event batch:
+
+    * fill missing ``lang`` via the vectorized detector (never on deletes),
+    * compute ``content_sha256`` (the per-row invariant column),
+    * validate required fields (drop events missing key/op — reference
+      analog: required-field filters, osv/fetcher.go:539-541).
+    """
+    ev = events.filter(
+        F.col("repo").isNotNull()
+        & (F.col("repo") != "")
+        & F.col("path").isNotNull()
+        & (F.col("path") != "")
+        & F.col("op").isin("insert", "update", "delete")
+        & F.col("commit_seq").isNotNull()
+    )
+    ev = ev.withColumn(
+        "lang",
+        F.when(F.col("op") == "delete", F.lit(None).cast("string")).otherwise(
+            F.coalesce(F.col("lang"), detect_lang_udf(F.col("path"), F.col("content")))
+        ),
+    )
+    return ev.withColumn("content_sha256", content_sha256(F.col("content")))

@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for the CDC engine.
+
+Local-mode defaults mirror what we would set on a real cluster: AQE on,
+Arrow on, shuffle partitions sized to cores.  On a 1000-executor cluster the
+same builder is used with ``master`` unset (supplied by spark-submit) and
+``shuffle_partitions`` sized to ~2-3x total cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "vuln_datasync_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with engine defaults.
+
+    master=None -> respect spark-submit / existing session; local fallback
+    uses ``local[$SPARK_GRAFT_CPUS]`` (default all cores).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+
+    if shuffle_partitions is None:
+        if master.startswith("local["):
+            inner = master[len("local[") : -1]
+            shuffle_partitions = 32 if inner == "*" else max(8, int(inner))
+        else:
+            shuffle_partitions = 200
+
+    conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.compression.codec": "zstd",
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        # file-source streaming + dynamic partition overwrite defaults
+        "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,414 @@
+"""ManifestTable — a snapshot-isolated keyed MERGE sink on plain parquet.
+
+The sandbox image ships no Iceberg runtime jar, so this implements the same
+commit semantics the engine would get from ``MERGE INTO`` on Iceberg
+(SURVEY.md §7.1 Phase 2 fallback), with the same at-scale properties:
+
+* **Copy-on-write at bucket granularity** — the key space is hash-bucketed
+  (``pmod(xxhash64(repo, path), n_buckets)``); a merge rewrites ONLY the
+  buckets touched by the batch and carries the other buckets' files forward
+  by reference in the new manifest.  At 100 TB with enough buckets this is
+  the Iceberg COW file-rewrite pattern: work ∝ touched data, not table size.
+* **Atomic snapshot commits** — each commit writes data files + an immutable
+  manifest JSON, then atomically swaps a ``_current`` pointer
+  (``os.replace``) after verifying the parent snapshot (optimistic
+  single-writer check).  Readers always see a complete snapshot.
+* **Exactly-once via epoch tagging** — every commit records its
+  ``(checkpoint_id, batch_id)`` epoch; a replayed micro-batch (foreachBatch
+  is at-least-once) is detected and skipped (north-rule requirement;
+  reference analog: unique-job dedup, /root/reference/internal/jobs/
+  server.go:760-832).
+* **Monotone merge condition** — a row only advances when the incoming
+  event's total order ``(commit_seq, commit, op)`` exceeds the stored one,
+  so replays and late/out-of-order events are no-ops (MERGE ... WHEN MATCHED
+  AND b.seq > t.seq analog; reference: ON CONFLICT DO UPDATE,
+  /root/reference/sql/vulnerabilities.sql:66-90).
+* **Deletes are tombstones** — a delete keeps ``(key, ord, is_deleted)`` so
+  an earlier-sequenced update arriving later cannot resurrect the row
+  (SURVEY.md §7.3 #5); ``expire_tombstones`` compacts them once safe.
+* **Schema evolution** — column-add and int->long / float->double widening
+  reconciled against the stored schema before each merge (reference analog:
+  additive migration /root/reference/migrations/002_fix_nullable_summary
+  .up.sql:1-6).
+
+On a real cluster the file listing/IO below would go through the Hadoop
+FileSystem API; local-mode uses the posix filesystem directly.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.normalize import LWW_ORDER_COLS
+from ..operators.lww import lww_resolve
+
+KEY_COLS = ("repo", "path")
+META_COLS = ("is_deleted",)
+
+# type-widening lattice (Iceberg-compatible promotions)
+_WIDEN = {
+    ("integer", "long"): "long",
+    ("long", "integer"): "long",
+    ("float", "double"): "double",
+    ("double", "float"): "double",
+    ("integer", "double"): "double",
+    ("double", "integer"): "double",
+    ("long", "double"): "double",
+    ("double", "long"): "double",
+}
+
+
+def _merge_schemas(a: T.StructType, b: T.StructType) -> T.StructType:
+    """Union of columns with type widening; order = a's columns then new."""
+    fields: dict[str, T.StructField] = {f.name: f for f in a.fields}
+    for f in b.fields:
+        if f.name not in fields:
+            fields[f.name] = T.StructField(f.name, f.dataType, True)
+        else:
+            cur = fields[f.name]
+            if cur.dataType != f.dataType:
+                w = _WIDEN.get((cur.dataType.typeName(), f.dataType.typeName()))
+                if w is None:
+                    raise ValueError(
+                        f"incompatible schema change for {f.name}: "
+                        f"{cur.dataType} vs {f.dataType}"
+                    )
+                fields[f.name] = T.StructField(
+                    f.name, T.LongType() if w == "long" else T.DoubleType(), True
+                )
+    return T.StructType(list(fields.values()))
+
+
+def _conform(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project df onto schema: add missing columns as null, cast widened."""
+    cols = []
+    have = {f.name: f for f in df.schema.fields}
+    for f in schema.fields:
+        if f.name in have:
+            c = F.col(f.name)
+            if have[f.name].dataType != f.dataType:
+                c = c.cast(f.dataType)
+            cols.append(c.alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+class ManifestTable:
+    """A keyed, versioned table at ``root`` with atomic manifest commits."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        meta = self._read_json(os.path.join(root, "_table.json"))
+        if meta is None:
+            raise FileNotFoundError(f"no ManifestTable at {root} (use .create)")
+        self.n_buckets = meta["n_buckets"]
+        self.key_cols = tuple(meta["key_cols"])
+
+    # ---------- creation / metadata ----------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = 32,
+        key_cols: tuple[str, ...] = KEY_COLS,
+    ) -> "ManifestTable":
+        os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        with open(os.path.join(root, "_table.json"), "w") as f:
+            json.dump({"n_buckets": n_buckets, "key_cols": list(key_cols)}, f)
+        return cls(spark, root)
+
+    @staticmethod
+    def _read_json(path: str):
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def current_snapshot_id(self) -> str | None:
+        try:
+            with open(os.path.join(self.root, "_current")) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def manifest(self, snapshot_id: str | None = None) -> dict | None:
+        sid = snapshot_id or self.current_snapshot_id()
+        if sid is None:
+            return None
+        return self._read_json(os.path.join(self.root, "_manifests", f"{sid}.json"))
+
+    def snapshots(self) -> list[dict]:
+        out = []
+        m = self.manifest()
+        while m is not None:
+            out.append(m)
+            m = self.manifest(m["parent"]) if m["parent"] else None
+        return list(reversed(out))
+
+    def schema(self) -> T.StructType | None:
+        m = self.manifest()
+        return T.StructType.fromJson(m["schema"]) if m else None
+
+    # ---------- expressions ----------
+
+    def bucket_expr(self) -> F.Column:
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets)
+        ).cast("int")
+
+    # ---------- read ----------
+
+    def _files_for(self, manifest: dict, buckets: list[int] | None = None):
+        files = []
+        for b, paths in manifest["files"].items():
+            if buckets is None or int(b) in buckets:
+                files += [os.path.join(self.root, p) for p in paths]
+        return files
+
+    def read(
+        self,
+        snapshot_id: str | None = None,
+        include_tombstones: bool = False,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        """Snapshot read. Missing columns in old files come back as null
+        (explicit manifest schema -> parquet clipping = free column-add)."""
+        m = self.manifest(snapshot_id)
+        schema = T.StructType.fromJson(m["schema"]) if m else None
+        files = self._files_for(m, buckets) if m else []
+        if not files:
+            empty_schema = schema or T.StructType(
+                [T.StructField(c, T.StringType()) for c in self.key_cols]
+            )
+            df = self.spark.createDataFrame([], empty_schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(*files)
+        if not include_tombstones and "is_deleted" in df.columns:
+            df = df.filter(~F.col("is_deleted")).drop("is_deleted")
+        return df
+
+    # ---------- merge ----------
+
+    def merge(
+        self,
+        winners: DataFrame,
+        checkpoint_id: str = "adhoc",
+        batch_id: int = 0,
+        seq_range=None,
+    ) -> dict | None:
+        """MERGE one-winner-per-key batch into the table.
+
+        ``winners`` must have key_cols + LWW_ORDER_COLS (+ payload). Returns
+        the lineage record, or None if this (checkpoint_id, batch_id) epoch
+        was already committed (exactly-once replay skip).
+
+        ``seq_range`` may be a (start, end) tuple or a zero-arg callable
+        resolved after the first batch action (lets the caller capture the
+        source offset range via DataFrame.observe with no extra scan).
+        """
+        parent = self.current_snapshot_id()
+        parent_m = self.manifest(parent) if parent else None
+        epoch_key = f"{checkpoint_id}:{batch_id}"
+        applied = set(parent_m["applied_epochs"]) if parent_m else set()
+        if epoch_key in applied:
+            return None
+
+        batch = winners.withColumn("is_deleted", F.col("op") == "delete")
+        batch = batch.withColumn("_bucket", self.bucket_expr())
+
+        # per-bucket stats in ONE job (also yields affected-bucket list)
+        bstats = {
+            int(r["_bucket"]): r["n"]
+            for r in batch.groupBy("_bucket").agg(F.count("*").alias("n")).collect()
+        }
+        if callable(seq_range):
+            seq_range = seq_range()
+        affected = sorted(bstats)
+        if not affected:
+            return self._commit_noop(parent, parent_m, epoch_key, seq_range)
+
+        # schema reconciliation (column-add / widen) BEFORE the merge
+        batch_schema = T.StructType(
+            [f for f in batch.schema.fields if f.name != "_bucket"]
+        )
+        if parent_m:
+            stored = T.StructType.fromJson(parent_m["schema"])
+            new_schema = _merge_schemas(stored, batch_schema)
+        else:
+            new_schema = batch_schema
+
+        target = self.read(include_tombstones=True, buckets=affected)
+        target = _conform(target, new_schema)
+        batch = _conform(batch.drop("_bucket"), new_schema)
+
+        # MERGE = LWW over (target ∪ batch): the stored row carries its own
+        # (commit_seq, commit, op) order, so max-by-order implements
+        # WHEN MATCHED AND b.ord > t.ord THEN UPDATE/DELETE, WHEN NOT
+        # MATCHED THEN INSERT, and replays/out-of-order arrivals are no-ops.
+        merged = lww_resolve(
+            target.unionByName(batch), mode="maxby", key_cols=self.key_cols
+        )
+        merged = merged.withColumn("_bucket", self.bucket_expr())
+
+        sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        snap_rel = os.path.join("data", f"snap-{sid}")
+        snap_dir = os.path.join(self.root, snap_rel)
+        (
+            merged.repartition(len(affected), "_bucket")
+            .withColumnRenamed("_bucket", "bucket")
+            .write.partitionBy("bucket")
+            .parquet(snap_dir)
+        )
+
+        new_files: dict[str, list[str]] = {}
+        for bdir in glob.glob(os.path.join(snap_dir, "bucket=*")):
+            b = bdir.rsplit("=", 1)[1]
+            new_files[b] = [
+                os.path.join(snap_rel, os.path.basename(bdir), os.path.basename(p))
+                for p in glob.glob(os.path.join(bdir, "*.parquet"))
+            ]
+        files = dict(parent_m["files"]) if parent_m else {}
+        for b in affected:
+            files.pop(str(b), None)
+        files.update(new_files)
+
+        lineage = {
+            "snapshot_id": sid,
+            "checkpoint_id": checkpoint_id,
+            "batch_id": batch_id,
+            "seq_start": seq_range[0] if seq_range else None,
+            "seq_end": seq_range[1] if seq_range else None,
+            "rows_applied": int(sum(bstats.values())),
+            "buckets": {str(b): int(n) for b, n in bstats.items()},
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        manifest = {
+            "snapshot_id": sid,
+            "parent": parent,
+            "epoch": epoch_key,
+            "applied_epochs": sorted(applied | {epoch_key}),
+            "schema": new_schema.jsonValue(),
+            "files": files,
+            "lineage": lineage,
+        }
+        self._commit(manifest, expected_parent=parent)
+        self._append_lineage(lineage)
+        return lineage
+
+    def _commit_noop(self, parent, parent_m, epoch_key, seq_range):
+        sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        lineage = {
+            "snapshot_id": sid,
+            "checkpoint_id": epoch_key.rsplit(":", 1)[0],
+            "batch_id": int(epoch_key.rsplit(":", 1)[1]),
+            "seq_start": seq_range[0] if seq_range else None,
+            "seq_end": seq_range[1] if seq_range else None,
+            "rows_applied": 0,
+            "buckets": {},
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        manifest = {
+            "snapshot_id": sid,
+            "parent": parent,
+            "epoch": epoch_key,
+            "applied_epochs": sorted(
+                (set(parent_m["applied_epochs"]) if parent_m else set()) | {epoch_key}
+            ),
+            "schema": parent_m["schema"]
+            if parent_m
+            else T.StructType([]).jsonValue(),
+            "files": dict(parent_m["files"]) if parent_m else {},
+            "lineage": lineage,
+        }
+        self._commit(manifest, expected_parent=parent)
+        self._append_lineage(lineage)
+        return lineage
+
+    def _commit(self, manifest: dict, expected_parent: str | None):
+        if self.current_snapshot_id() != expected_parent:
+            raise RuntimeError("concurrent commit detected (parent moved)")
+        sid = manifest["snapshot_id"]
+        mpath = os.path.join(self.root, "_manifests", f"{sid}.json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(mpath + ".tmp", mpath)
+        cur = os.path.join(self.root, "_current")
+        with open(cur + ".tmp", "w") as f:
+            f.write(sid)
+        os.replace(cur + ".tmp", cur)  # atomic pointer swap
+
+    def _append_lineage(self, lineage: dict):
+        """Per-micro-batch lineage parquet (FIXTURES.md §4; reference analog:
+        processing_stats, /root/reference/migrations/001_initial_schema
+        .up.sql:75-88). One tiny file per commit; compaction-friendly."""
+        ldir = os.path.join(self.root, "_lineage")
+        os.makedirs(ldir, exist_ok=True)
+        import pandas as pd
+
+        rows = [
+            {
+                "snapshot_id": lineage["snapshot_id"],
+                "checkpoint_id": lineage["checkpoint_id"],
+                "batch_id": lineage["batch_id"],
+                "bucket": int(b),
+                "seq_start": lineage["seq_start"],
+                "seq_end": lineage["seq_end"],
+                "rows_applied": int(n),
+                "committed_at": lineage["committed_at"],
+            }
+            for b, n in (lineage["buckets"] or {"-1": 0}).items()
+        ]
+        pd.DataFrame(rows).to_parquet(
+            os.path.join(ldir, f"{lineage['snapshot_id']}.parquet"), index=False
+        )
+
+    def read_lineage(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, "_lineage"))
+
+    # ---------- maintenance ----------
+
+    def expire_snapshots(self, keep: int = 3):
+        """Drop manifests (and data files unreachable from the kept set) —
+        Iceberg expire_snapshots analog; reference analog: retention cleanup
+        /root/reference/internal/jobs/server.go:690-727."""
+        snaps = self.snapshots()
+        keep_m = snaps[-keep:] if keep else snaps
+        live: set[str] = set()
+        for m in keep_m:
+            for paths in m["files"].values():
+                live.update(paths)
+        keep_ids = {m["snapshot_id"] for m in keep_m}
+        for m in snaps:
+            if m["snapshot_id"] not in keep_ids:
+                os.remove(
+                    os.path.join(
+                        self.root, "_manifests", f"{m['snapshot_id']}.json"
+                    )
+                )
+        # re-root the chain
+        if keep_m:
+            keep_m[0]["parent"] = None
+            p = os.path.join(
+                self.root, "_manifests", f"{keep_m[0]['snapshot_id']}.json"
+            )
+            with open(p + ".tmp", "w") as f:
+                json.dump(keep_m[0], f)
+            os.replace(p + ".tmp", p)
+        for f_ in glob.glob(os.path.join(self.root, "data", "snap-*", "bucket=*", "*.parquet")):
+            rel = os.path.relpath(f_, self.root)
+            if rel not in live:
+                os.remove(f_)

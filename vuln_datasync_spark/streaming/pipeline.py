@@ -1,0 +1,127 @@
+"""The CDC pipeline: changelog -> normalize -> LWW -> MERGE, batch + stream.
+
+Spark restatement of the reference's sync path (SURVEY.md §3.1):
+
+    readStream(changelog)
+      -> normalize_events (built-in exprs + Arrow pandas UDF lang-detect)
+      -> lww_resolve (salted two-phase / max_by partial-agg reduce)
+      -> foreachBatch: ManifestTable.merge (epoch-tagged exactly-once commit)
+      -> lineage row per micro-batch partition
+
+foreachBatch is at-least-once; exactly-once comes from the sink's
+(checkpoint_id, batch_id) epoch ledger + the monotone (commit_seq, commit,
+op) merge condition — a replayed batch commits nothing (SURVEY.md §7.3 #1).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
+
+from ..functions.normalize import normalize_events
+from ..operators.lww import lww_resolve
+from ..sinks.manifest_table import ManifestTable
+
+
+def apply_batch(
+    events: DataFrame,
+    table: ManifestTable,
+    checkpoint_id: str = "adhoc",
+    batch_id: int = 0,
+    lww_mode: str = "maxby",
+    n_salts: int = 16,
+) -> dict | None:
+    """Apply one changelog batch to the table; returns the lineage record.
+
+    The source offset range (min/max commit_seq) is captured with
+    ``DataFrame.observe`` during the merge's own jobs — no extra scan.
+    """
+    obs = Observation()
+    ev = normalize_events(events).observe(
+        obs,
+        F.min("commit_seq").alias("seq_start"),
+        F.max("commit_seq").alias("seq_end"),
+    )
+    winners = lww_resolve(ev, mode=lww_mode, n_salts=n_salts)
+
+    def seq_range():
+        try:
+            m = obs.get
+            return (m["seq_start"], m["seq_end"])
+        except Exception:
+            # empty batch: Catalyst prunes the observe node entirely
+            return (None, None)
+
+    lineage = table.merge(
+        winners,
+        checkpoint_id=checkpoint_id,
+        batch_id=batch_id,
+        seq_range=seq_range,
+    )
+    return lineage
+
+
+def checkpoint_identity(checkpoint_dir: str) -> str:
+    """Stable id for a checkpoint location — ties sink epochs to the stream's
+    offset WAL so a restarted query keeps deduplicating its own batch ids."""
+    return hashlib.sha256(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:16]
+
+
+def run_stream(
+    spark: SparkSession,
+    changelog_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+    lww_mode: str = "maxby",
+    n_salts: int = 16,
+    on_batch=None,
+):
+    """Tail a changelog directory (file source stands in for the Iceberg/
+    Kafka changelog; offsets live in the Structured Streaming checkpoint)
+    and merge every micro-batch into the ManifestTable at ``table_root``.
+
+    ``trigger(availableNow=True)`` drains everything currently available and
+    stops — resumable: a later call with the same checkpoint continues from
+    the recorded offsets (reference analog: incremental sync `since`,
+    /root/reference/sql/vulnerabilities.sql:128-132).
+
+    ``on_batch(batch_id, lineage)`` is a test hook (e.g. simulate a crash
+    between sink commit and checkpoint commit).
+    """
+    if os.path.exists(os.path.join(table_root, "_table.json")):
+        table = ManifestTable(spark, table_root)
+    else:
+        table = ManifestTable.create(spark, table_root)
+    ckpt_id = checkpoint_identity(checkpoint_dir)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(changelog_dir)
+
+    def process(batch_df: DataFrame, batch_id: int):
+        lineage = apply_batch(
+            batch_df,
+            table,
+            checkpoint_id=ckpt_id,
+            batch_id=batch_id,
+            lww_mode=lww_mode,
+            n_salts=n_salts,
+        )
+        if on_batch is not None:
+            on_batch(batch_id, lineage)
+
+    query = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return table
