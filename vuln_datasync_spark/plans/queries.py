@@ -1,0 +1,567 @@
+"""Query catalog: every SURVEY.md §2 operator as a (Spark impl, DuckDB
+oracle SQL) pair over the driver's testdata tables.
+
+Contract (driver, __spark_entry__.py): each Spark callable takes
+(spark, sf_dir) and returns a DataFrame whose column NAMES and VALUES match
+the oracle SQL run by DuckDB on the same parquet files. The driver hashes
+values after sorting columns by name, so:
+
+  * every computed column is aliased identically on both sides,
+  * double aggregates are rounded (cross-engine bit drift),
+  * every top-k has a unique total-order tiebreak,
+  * timestamps are emitted as formatted strings where they appear.
+
+Entries with ``sql=None`` are genuinely non-SQL-expressible (vectorized UDF
+paths, engine-internal ops) and get the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.hashing import vuln_id
+from ..functions.normalize import summary_truncate
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class QueryDef:
+    name: str
+    survey_ref: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]
+    note: str = ""
+
+
+QUERIES: list[QueryDef] = []
+
+
+def q(name: str, survey_ref: str, sql: Optional[str], note: str = ""):
+    def deco(fn):
+        QUERIES.append(QueryDef(name, survey_ref, fn, sql, note))
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------- aggregates
+
+
+@q(
+    "a1_total_count",
+    "A1 sql/vulnerabilities.sql:104-105",
+    "SELECT count(*) AS n FROM lineitem",
+)
+def a1(spark, sf):
+    return _t(spark, sf, "lineitem").agg(F.count("*").alias("n"))
+
+
+@q(
+    "a2_count_by_source",
+    "A2 sql/vulnerabilities.sql:107-113",
+    """SELECT source, count(*) AS cnt FROM documents
+       GROUP BY source ORDER BY cnt DESC, source""",
+)
+def a2(spark, sf):
+    return (
+        _t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "source")
+    )
+
+
+@q(
+    "a3_count_by_ecosystem",
+    "A3 sql/vulnerabilities.sql:115-120",
+    """SELECT lang, count(*) AS cnt FROM documents
+       WHERE lang IS NOT NULL GROUP BY lang ORDER BY cnt DESC, lang""",
+)
+def a3(spark, sf):
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "lang")
+    )
+
+
+@q(
+    "a4_multi_metric_stats",
+    "A4 migrations/001_initial_schema.up.sql:132-144",
+    """SELECT count(*) AS total,
+              count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+              count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+              count(DISTINCT o_custkey) AS n_customers,
+              strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS first_order,
+              strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_order
+       FROM orders""",
+)
+def a4(spark, sf):
+    return _t(spark, sf, "orders").agg(
+        F.count("*").alias("total"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "first_order"
+        ),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "last_order"
+        ),
+    )
+
+
+@q(
+    "a5_state_pivot_counts",
+    "A5 sql/jobs.sql:43-50",
+    """SELECT o_orderpriority AS priority,
+              count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+              count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+              count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+       FROM orders GROUP BY o_orderpriority ORDER BY priority""",
+)
+def a5(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+            F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_pending"),
+        )
+        .orderBy("priority")
+    )
+
+
+@q(
+    "a7_array_dedup_union",
+    "A7 internal/merger/merger.go:254-275",
+    """SELECT doc_id,
+              array_to_string(list_sort(list_distinct(list_concat(
+                  string_split(substring(text, 1, 60), ' '),
+                  string_split(substring(text, 30, 60), ' ')))), ',') AS merged
+       FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+    note="order-preserving union checked sorted for cross-engine stability",
+)
+def a7(spark, sf):
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    a = F.split(F.substring("text", 1, 60), " ")
+    b = F.split(F.substring("text", 30, 60), " ")
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_union(a, b)), ",").alias("merged"),
+    ).orderBy("doc_id")
+
+
+# -------------------------------------------------------------------- joins
+
+
+@q(
+    "j1_priority_dedup_join",
+    "J1 sql/vulnerabilities.sql:7-17 + merger.go:74-105",
+    """SELECT l_orderkey, l_suppkey, round(l_extendedprice, 2) AS best_price
+       FROM (SELECT l_orderkey, l_suppkey, l_extendedprice,
+                    row_number() OVER (PARTITION BY l_orderkey
+                        ORDER BY l_extendedprice DESC, l_suppkey) AS rn
+             FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""",
+    note="best-match-by-priority pick: ORDER BY CASE ... LIMIT 1 analog",
+)
+def j1(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(F.desc("l_extendedprice"), "l_suppkey")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.round("l_extendedprice", 2).alias("best_price"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@q(
+    "j2_broadcast_dim_join",
+    "J2 merger.go:46-71 (alias cache = broadcast hash join)",
+    """SELECT r.r_name AS region, count(*) AS n_customers
+       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY r.r_name ORDER BY region""",
+)
+def j2(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = F.broadcast(_t(spark, sf, "nation"))
+    r = F.broadcast(_t(spark, sf, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("region")
+    )
+
+
+@q(
+    "j3_point_lookup_join",
+    "J3 sql/vulnerabilities.sql:1-2",
+    """SELECT o.o_orderkey, c.c_name, round(o.o_totalprice, 2) AS total
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE o.o_orderkey % 1000 = 0 ORDER BY o.o_orderkey""",
+)
+def j3(spark, sf):
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") % 1000 == 0)
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "o_orderkey", "c_name", F.round("o_totalprice", 2).alias("total")
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@q(
+    "j4_hash_dedup_antijoin",
+    "J4 sql/vulnerabilities.sql:34-35 (data_hash existence probe)",
+    """SELECT d.doc_id FROM documents d
+       JOIN (SELECT sha256(text) AS h, min(doc_id) AS keeper
+             FROM documents GROUP BY sha256(text)) k
+         ON sha256(d.text) = k.h
+       WHERE d.doc_id = k.keeper ORDER BY d.doc_id""",
+    note="keep one row per content hash — dedup-before-write",
+)
+def j4(spark, sf):
+    d = _t(spark, sf, "documents").withColumn("h", F.sha2("text", 256))
+    keep = d.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    return (
+        d.join(keep, (d.h == keep.h) & (d.doc_id == keep.keeper), "left_semi")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "j5_semi_join_exists",
+    "J5 jobs/server.go:1004-1011 (containsSource guard)",
+    """SELECT count(*) AS n FROM orders o
+       WHERE EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)""",
+)
+def j5(spark, sf):
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "j6_anti_join_not_exists",
+    "J5/J4 anti form",
+    """SELECT count(*) AS n FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def j6(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ------------------------------------------------------- LWW / CDC semantics
+
+
+@q(
+    "m1_lww_last_event_per_user",
+    "M1 sql/vulnerabilities.sql:66-90 (last writer wins per key)",
+    """SELECT user_id, event_type AS last_type,
+              round(value, 4) AS last_value, event_id AS last_event_id
+       FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+       WHERE rn = 1 ORDER BY user_id""",
+    note="the engine's LWW reduce in SQL-checkable form over `events`",
+)
+def m1(spark, sf):
+    ev = _t(spark, sf, "events")
+    won = ev.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                "ts",
+                "event_id",
+                F.col("event_type").alias("et"),
+                F.col("value").alias("v"),
+            )
+        ).alias("w")
+    )
+    return won.select(
+        "user_id",
+        F.col("w.et").alias("last_type"),
+        F.round("w.v", 4).alias("last_value"),
+        F.col("w.event_id").alias("last_event_id"),
+    ).orderBy("user_id")
+
+
+@q(
+    "m2_cdc_lww_tombstones",
+    "M1+S14 delete semantics (tombstones, SURVEY §7.3 #5)",
+    """SELECT user_id, event_id AS last_event_id
+       FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+       WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""",
+    note="'error' as the delete op: tombstoned keys drop out of final state",
+)
+def m2(spark, sf):
+    ev = _t(spark, sf, "events")
+    won = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", F.col("event_type").alias("et"))).alias("w")
+    )
+    return (
+        won.filter(F.col("w.et") != "error")
+        .select("user_id", F.col("w.event_id").alias("last_event_id"))
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "m6_deterministic_id",
+    "M6 internal/utils/id_generator.go:64-78 (bit parity)",
+    """SELECT doc_id,
+              concat('VULN-',
+                     CAST(CAST(concat('0x', substring(sha256(text), 1, 4)) AS INTEGER)
+                          % 9000 + 1000 AS VARCHAR),
+                     '-', upper(substring(sha256(text), 5, 4))) AS vid
+       FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+)
+def m6(spark, sf):
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", vuln_id("text").alias("vid"))
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "m8_content_hash",
+    "M8 internal/merger/normalizer.go:359-372",
+    """SELECT doc_id, sha256(text) AS content_sha256
+       FROM documents ORDER BY doc_id""",
+)
+def m8(spark, sf):
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", F.sha2("text", 256).alias("content_sha256"))
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------------ windows / sort
+
+
+@q(
+    "w1_running_total",
+    "2.6 window (implicit ref windows made explicit)",
+    """SELECT event_id, user_id,
+              round(sum(value) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 3) AS running
+       FROM events WHERE user_id < 20 ORDER BY event_id""",
+)
+def w1(spark, sf):
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 20)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 3).alias("running")
+    ).orderBy("event_id")
+
+
+@q(
+    "o1_topk_recent",
+    "O1 sql/vulnerabilities.sql:22-32",
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od
+       FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 100""",
+)
+def o1(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(100)
+        .select(
+            "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("od")
+        )
+    )
+
+
+@q(
+    "o3_priority_pickup",
+    "O3 sql/jobs.sql:9-13",
+    """SELECT o_orderkey, o_orderpriority FROM orders
+       ORDER BY o_orderpriority DESC, o_orderdate ASC, o_orderkey LIMIT 50""",
+)
+def o3(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.desc("o_orderpriority"), F.asc("o_orderdate"), "o_orderkey")
+        .limit(50)
+        .select("o_orderkey", "o_orderpriority")
+    )
+
+
+@q(
+    "o5_recent_activity",
+    "O5 migrations/001_initial_schema.up.sql:147-159 (24h view)",
+    """SELECT event_type, count(*) AS cnt FROM events
+       WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOURS
+       GROUP BY event_type ORDER BY event_type""",
+)
+def o5(spark, sf):
+    ev = _t(spark, sf, "events")
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("c")
+    )
+    return (
+        ev.join(F.broadcast(cutoff))
+        .filter(F.col("ts") >= F.col("c"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------------------------------------ set ops
+
+
+@q(
+    "u1_multi_source_union",
+    "U1 internal/jobs/server.go:136-139",
+    """SELECT mkt, count(*) AS cnt FROM (
+         SELECT c_mktsegment AS mkt FROM customer WHERE c_acctbal > 5000
+         UNION ALL
+         SELECT c_mktsegment AS mkt FROM customer WHERE c_acctbal < 0)
+       GROUP BY mkt ORDER BY mkt""",
+)
+def u1(spark, sf):
+    c = _t(spark, sf, "customer")
+    hi = c.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_mktsegment").alias("mkt")
+    )
+    lo = c.filter(F.col("c_acctbal") < 0).select(F.col("c_mktsegment").alias("mkt"))
+    return (
+        hi.unionByName(lo).groupBy("mkt").agg(F.count("*").alias("cnt")).orderBy("mkt")
+    )
+
+
+# ------------------------------------------- filters / projections / scalars
+
+
+@q(
+    "p4_required_field_filter",
+    "P4 osv/fetcher.go:539-541",
+    """SELECT source, count(*) AS cnt FROM documents
+       WHERE text IS NOT NULL AND length(text) > 0 AND lang <> ''
+       GROUP BY source ORDER BY source""",
+)
+def p4(spark, sf):
+    return (
+        _t(spark, sf, "documents")
+        .filter(
+            F.col("text").isNotNull()
+            & (F.length("text") > 0)
+            & (F.col("lang") != "")
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("source")
+    )
+
+
+@q(
+    "p9_recency_filter",
+    "P9 sql/vulnerabilities.sql:122-132 (incremental since)",
+    """SELECT event_type, count(*) AS cnt FROM events
+       WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+       GROUP BY event_type ORDER BY event_type""",
+)
+def p9(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .filter(F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "f5_summary_truncation",
+    "F5 internal/merger/normalizer.go:339-356",
+    """SELECT doc_id,
+              CASE WHEN length(text) <= 100 THEN text
+                   WHEN length(string_split_regex(text, '\\. ')[1] || '.') <= 100
+                        THEN string_split_regex(text, '\\. ')[1] || '.'
+                   ELSE substring(text, 1, 97) || '...' END AS summary
+       FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+)
+def f5(spark, sf):
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", summary_truncate("text").alias("summary"))
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "q1_tpch_pricing_summary",
+    "flagship OLAP parity (TPC-H Q1 shape over lineitem)",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              round(avg(l_quantity), 4) AS avg_qty,
+              count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+)
+def q1(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {qd.name: qd.spark_fn for qd in QUERIES}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {qd.name: qd.sql for qd in QUERIES if qd.sql is not None}
