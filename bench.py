@@ -1,0 +1,169 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "cdc": {"events": N, "events_per_sec": ...,
+           "lww_maxby_sec": ..., "lww_salted_sec": ...},
+   "scaling": {"local[8]": eps, "local[32]": eps, "efficiency": e}}
+
+Components:
+  * headline catalog queries at $SPARK_GRAFT_SF_DIR (default
+    /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS];
+  * CDC changelog replay throughput (events/sec merged into the target) on
+    a deterministic Spark-generated changelog;
+  * scaling evidence per BASELINE.md: the same replay at local[8] and
+    local[32] in fresh JVMs (subprocesses), efficiency =
+    eps(32) / (4 * eps(8)).
+
+Worker mode (internal): python bench.py --replay-worker <master> <log_dir>
+prints one JSON line {"events": N, "sec": s, "events_per_sec": eps}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
+WORK = os.path.join(REPO, ".work", "bench")
+
+CHANGELOG_SCHEMA = (
+    "commit_seq long, op string, repo string, path string, commit string, "
+    "lang string, content string, ts timestamp, size_bytes long"
+)
+
+HEADLINE = [
+    "q1_tpch_pricing_summary",
+    "j1_priority_dedup_join",
+    "j2_broadcast_dim_join",
+    "m1_lww_last_event_per_user",
+    "w1_running_total",
+    "dd_minhash_lsh_candidates",
+    "dd_ngram_jaccard",
+    "sim_cosine_topk",
+    "tx_token_stats",
+    "tx_lang_id",
+    "mm_extract_features",
+]
+
+
+def ensure_changelog(n_events: int) -> str:
+    """Generate the bench changelog once (distributed, deterministic) and
+    reuse it across runs and parallelism levels."""
+    log_dir = os.path.join(WORK, f"log_{n_events}")
+    marker = os.path.join(log_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        return log_dir
+    from vuln_datasync_spark.datagen import generate_changelog_spark
+    from vuln_datasync_spark.session import get_spark
+
+    spark = get_spark("vds-bench-gen", master=f"local[{CPUS}]")
+    shutil.rmtree(log_dir, ignore_errors=True)
+    df = generate_changelog_spark(spark, n_events)
+    df.repartition(32).write.parquet(log_dir, mode="overwrite")
+    with open(marker, "w") as f:
+        f.write("ok")
+    spark.stop()
+    return log_dir
+
+
+def replay(spark, log_dir: str, lww_mode: str = "maxby") -> dict:
+    """Timed full-log replay into a fresh table; returns events, sec, eps."""
+    from vuln_datasync_spark.sinks import ManifestTable
+    from vuln_datasync_spark.streaming import apply_batch
+
+    tbl_dir = tempfile.mkdtemp(prefix="vds_bench_tbl_", dir=WORK)
+    table = ManifestTable.create(spark, os.path.join(tbl_dir, "t"), n_buckets=64)
+    raw = spark.read.schema(CHANGELOG_SCHEMA).parquet(log_dir)
+    n = raw.count()  # warm the file listing; excluded from timing on rerun
+    t0 = time.monotonic()
+    lineage = apply_batch(raw, table, "bench", 0, lww_mode=lww_mode)
+    sec = time.monotonic() - t0
+    shutil.rmtree(tbl_dir, ignore_errors=True)
+    assert lineage is not None and lineage["rows_applied"] > 0
+    return {"events": n, "sec": round(sec, 3), "events_per_sec": round(n / sec, 1)}
+
+
+def replay_worker(master: str, log_dir: str):
+    from vuln_datasync_spark.session import get_spark
+
+    spark = get_spark(f"vds-bench-{master}", master=master)
+    out = replay(spark, log_dir)
+    spark.stop()
+    print(json.dumps(out))
+
+
+def run_scaling(log_dir: str) -> dict:
+    """Same job, two parallelism levels, fresh JVM each (BASELINE.md)."""
+    res = {}
+    for master in ("local[8]", "local[32]"):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--replay-worker", master, log_dir],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            timeout=3600,
+        )
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        res[master] = json.loads(line)["events_per_sec"]
+    res["efficiency"] = round(res["local[32]"] / (4.0 * res["local[8]"]), 3)
+    return res
+
+
+def main():
+    os.makedirs(WORK, exist_ok=True)
+    if len(sys.argv) > 1 and sys.argv[1] == "--replay-worker":
+        replay_worker(sys.argv[2], sys.argv[3])
+        return
+
+    skip_scaling = os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
+    log_dir = ensure_changelog(N_EVENTS)
+
+    from vuln_datasync_spark.plans.queries import query_map
+    from vuln_datasync_spark.session import get_spark
+
+    spark = get_spark("vds-bench", master=f"local[{CPUS}]")
+    qmap = query_map()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = qmap[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    cdc = {"events": N_EVENTS}
+    r = replay(spark, log_dir, "maxby")
+    cdc["events_per_sec"] = r["events_per_sec"]
+    cdc["lww_maxby_sec"] = r["sec"]
+    timings["cdc_replay"] = r["sec"]
+    cdc["lww_salted_sec"] = replay(spark, log_dir, "salted")["sec"]
+    spark.stop()
+
+    scaling = None if skip_scaling else run_scaling(log_dir)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    out = {
+        "metric": "headline queries + 1M-event CDC changelog replay (sec)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cdc": cdc,
+        "scaling": scaling,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

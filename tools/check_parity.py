@@ -28,7 +28,7 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        return repr(round(v, 9) + 0.0)
     if isinstance(v, bool):
         return str(v).lower()
     return str(v)

@@ -35,7 +35,7 @@ def token_count(text: Column | str) -> Column:
 def bpe_ish_token_count(text: Column | str) -> Column:
     """Token count under a BPE-like segmentation (regex pieces)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE)))
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0))
 
 
 def punct_count(text: Column | str) -> Column:

@@ -1,0 +1,237 @@
+"""Deduplication operators for training-data pipelines.
+
+All distributed-first: candidate generation is always a bucket/band
+equi-join (shuffle on small keys), never an O(n²) cross join; exact
+verification runs only on candidate pairs. Scale notes per operator.
+
+* exact_dedup        — hash-groupBy on sha256(content); map-side combine,
+                       one shuffle on the hash.
+* minhash_signature / minhash_lsh_candidates — shingle -> k minhashes ->
+  band buckets -> self-join on (band, bucket). md5-based hashes so the
+  result is bit-reproducible in any engine (oracle-checkable).
+* ngram_jaccard_pairs — exact Jaccard via shingle explode + equi-join on
+  shingle + count agg (the scalable set-similarity join), NOT pairwise.
+* simhash_pairs      — 64-bit simhash via a vectorized pandas UDF (numpy
+  bit ops over Arrow batches), banded into 4x16-bit chunks for candidate
+  join, verified with bit_count(xor) <= k.
+* embedding_neardup_pairs — cosine near-duplicates via random-hyperplane
+  LSH signs (see similarity.py) + exact cosine verify on candidates.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import char_shingles
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per exact content hash — hash-groupBy, one
+    shuffle (reference analog: data_hash probe J4,
+    /root/reference/sql/vulnerabilities.sql:34-35)."""
+    h = F.sha2(F.col(content_col), 256)
+    keep = (
+        df.withColumn("_h", h)
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("_h")
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def minhash_expr(shingles: Column, i: int) -> Column:
+    """Minhash #i = min md5 over salted shingles (hex-string min — totally
+    ordered, engine-portable)."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(f":{i}"))))
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str, k: int = 8, shingle_k: int = 5
+) -> DataFrame:
+    sh = char_shingles(F.col(text_col), shingle_k)
+    return df.withColumn(
+        "minhash", F.array(*[minhash_expr(sh, i) for i in range(k)])
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    Scale: explode to (band, bucket) rows -> shuffle on the bucket key ->
+    within-bucket pairing. Hot buckets (boilerplate text) are the skew
+    risk; cap pair-fanout upstream by filtering degenerate buckets.
+    """
+    r = k // bands
+    sig = minhash_signature(df, text_col, k, shingle_k).select(
+        F.col(id_col).alias("_id"), "minhash"
+    )
+    band_rows = sig.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|", *[F.col("minhash")[b * r + j] for j in range(r)]
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    # estimated Jaccard = fraction of matching minhashes
+    sa = sig.select(F.col("_id").alias("id_a"), F.col("minhash").alias("mh_a"))
+    sb = sig.select(F.col("_id").alias("id_b"), F.col("minhash").alias("mh_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("mh_a", "mh_b", lambda x, y: x == y),
+                        lambda m: m,
+                    )
+                )
+                / F.lit(float(k)),
+                4,
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard similarity join: explode distinct shingles, equi-join
+    on shingle, |A∩B| via count, |A∪B| = |A|+|B|-|A∩B|. One shuffle on the
+    shingle key + one on the pair key — no cross join anywhere."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(char_shingles(F.col(text_col), shingle_k)).alias("s"),
+    )
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@F.pandas_udf(T.LongType())
+def simhash64_udf(text: pd.Series) -> pd.Series:
+    """64-bit simhash over whitespace tokens; md5-derived token hashes so
+    the result is deterministic everywhere. Vectorized numpy bit-count per
+    Arrow batch (no per-row Python beyond the tokenizer)."""
+    out = np.zeros(len(text), dtype=np.int64)
+    for row_i, t in enumerate(text.fillna("")):
+        toks = t.lower().split()
+        if not toks:
+            continue
+        hashes = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                for tok in toks
+            ),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+        maj = (bits.sum(axis=0) * 2 >= len(toks)).astype(np.uint64)
+        out[row_i] = (maj << np.arange(64, dtype=np.uint64)).sum().astype(np.int64)
+    return pd.Series(out)
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by simhash: band the 64-bit hash into 4x16-bit chunks
+    (pigeonhole: hamming<=3 pairs share at least one chunk), join on
+    (chunk_idx, chunk), verify with bit_count(xor)."""
+    sig = df.select(
+        F.col(id_col).alias("_id"), simhash64_udf(F.col(text_col)).alias("sh")
+    )
+    chunks = sig.select(
+        "_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sh", i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

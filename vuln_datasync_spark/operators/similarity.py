@@ -1,0 +1,219 @@
+"""Similarity search over embedding columns (array<float>).
+
+* cosine_topk           — brute-force exact top-k: one pass, pure column
+                          expressions (zip_with dot product), broadcast
+                          query vector. The correctness baseline; O(n·d).
+* hyperplane_signature  — random-hyperplane LSH bit signature (seeded,
+                          deterministic) via a vectorized pandas UDF
+                          (numpy matmul over Arrow batches).
+* ann_lsh_topk          — bucketed ANN: probe only vectors sharing a band
+                          with the query, exact-rank the candidates.
+                          At 10^10 vectors: signatures are precomputed and
+                          bucket-partitioned, so a query touches only its
+                          buckets (partition pruning), not the full table.
+* ivf_assign/ivf_topk   — IVF-style coarse quantization: assign vectors to
+                          nearest of C deterministic centroids (broadcast
+                          join, no shuffle of the big side), probe the top-p
+                          centroid cells at query time.
+* embedding_neardup_pairs — cosine near-dup candidates via shared LSH band
+                          + exact cosine verify (dedup use-case).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product of two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+
+
+def _to_double(a: Column) -> Column:
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    ad, bd = _to_double(a), _to_double(b)
+    return _dot(ad, bd) / (F.sqrt(_dot(ad, ad)) * F.sqrt(_dot(bd, bd)))
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), id_col).limit(k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_planes))
+
+
+def make_signature_udf(dim: int, n_planes: int = 16, seed: int = 42):
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    @F.pandas_udf(T.LongType())
+    def signature(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())  # (batch, dim) — one matmul per batch
+        bits = (m @ planes) > 0
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        return pd.Series(bits @ weights)
+
+    return signature
+
+
+def hyperplane_signature(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int = 16, seed: int = 42
+) -> DataFrame:
+    sig = make_signature_udf(dim, n_planes, seed)
+    return df.withColumn("lsh_sig", sig(F.col(vec_col)))
+
+
+def _band_cols(sig_col: str, n_planes: int, bands: int) -> list[Column]:
+    r = n_planes // bands
+    mask = (1 << r) - 1
+    return [
+        F.shiftright(F.col(sig_col), b * r).bitwiseAND(F.lit(mask)).alias(f"_band{b}")
+        for b in range(bands)
+    ]
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: rank only vectors sharing >=1 LSH band with the
+    query. Recall grows with bands; candidates shrink with rows/band."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qbits = (np.asarray(query_vec) @ planes) > 0
+    qsig = int((qbits * (1 << np.arange(n_planes, dtype=np.int64))).sum())
+    r = n_planes // bands
+    mask = (1 << r) - 1
+    with_sig = hyperplane_signature(df, vec_col, dim, n_planes, seed)
+    cond = None
+    for b in range(bands):
+        qband = (qsig >> (b * r)) & mask
+        c = (
+            F.shiftright(F.col("lsh_sig"), b * r).bitwiseAND(F.lit(mask))
+            == F.lit(qband)
+        )
+        cond = c if cond is None else (cond | c)
+    cands = with_sig.filter(cond)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cands.select(
+            F.col(id_col), F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-band candidate join +
+    exact cosine verification. Never a cross join."""
+    with_sig = hyperplane_signature(df, vec_col, dim, n_planes, seed).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "lsh_sig"
+    )
+    bandcols = _band_cols("lsh_sig", n_planes, bands)
+    rows = with_sig.select(
+        "_id", "_v", F.posexplode(F.array(*bandcols)).alias("band", "bucket")
+    )
+    a, b = rows.alias("a"), rows.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._v").alias("va"),
+            F.col("b._v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("cosine", F.round(cosine_sim("va", "vb"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def ivf_assign(
+    df: DataFrame, vec_col: str, id_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF coarse cell) via a
+    broadcast of the (tiny) centroid table — big side never shuffles."""
+    cent = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    best = F.array_position(
+        F.transform(cent, lambda c: F.round(cosine_sim(F.col(vec_col), c), 9)),
+        F.array_max(
+            F.transform(cent, lambda c: F.round(cosine_sim(F.col(vec_col), c), 9))
+        ),
+    )
+    return df.withColumn("ivf_cell", (best - 1).cast("int"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Probe the n_probe nearest centroid cells only, exact-rank inside."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    sims = (cents @ qv) / (
+        np.linalg.norm(cents, axis=1) * np.linalg.norm(qv) + 1e-12
+    )
+    probe = [int(i) for i in np.argsort(-sims)[:n_probe]]
+    assigned = ivf_assign(df, vec_col, id_col, centroids)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("ivf_cell").isin(probe))
+        .select(
+            F.col(id_col), F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )

@@ -289,7 +289,7 @@ def j6(spark, sf):
     "m1_lww_last_event_per_user",
     "M1 sql/vulnerabilities.sql:66-90 (last writer wins per key)",
     """SELECT user_id, event_type AS last_type,
-              round(value, 4) AS last_value, event_id AS last_event_id
+              round(value, 4) + 0.0 AS last_value, event_id AS last_event_id
        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                  ORDER BY ts DESC, event_id DESC) AS rn FROM events)
        WHERE rn = 1 ORDER BY user_id""",
@@ -310,7 +310,7 @@ def m1(spark, sf):
     return won.select(
         "user_id",
         F.col("w.et").alias("last_type"),
-        F.round("w.v", 4).alias("last_value"),
+        (F.round("w.v", 4) + F.lit(0.0)).alias("last_value"),
         F.col("w.event_id").alias("last_event_id"),
     ).orderBy("user_id")
 
@@ -377,7 +377,7 @@ def m8(spark, sf):
     "2.6 window (implicit ref windows made explicit)",
     """SELECT event_id, user_id,
               round(sum(value) OVER (PARTITION BY user_id
-                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 3) AS running
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 3) + 0.0 AS running
        FROM events WHERE user_id < 20 ORDER BY event_id""",
 )
 def w1(spark, sf):
@@ -388,7 +388,7 @@ def w1(spark, sf):
         .rowsBetween(W.unboundedPreceding, 0)
     )
     return ev.select(
-        "event_id", "user_id", F.round(F.sum("value").over(w), 3).alias("running")
+        "event_id", "user_id", (F.round(F.sum("value").over(w), 3) + F.lit(0.0)).alias("running")
     ).orderBy("event_id")
 
 
@@ -557,6 +557,342 @@ def q1(spark, sf):
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ------------------------------------------------- dedup / curation ops
+
+
+_SHINGLE_SQL = (
+    "list_distinct(list_transform(generate_series(1, "
+    "greatest(length(lower(text))-4, 1)), i -> substring(lower(text), i, 5)))"
+)
+
+
+@q(
+    "dd_minhash_lsh_candidates",
+    "training-data dedup: MinHash+LSH (shingle→minhash→band→bucket-join)",
+    f"""WITH sh AS (
+          SELECT doc_id, {_SHINGLE_SQL} AS s
+          FROM documents WHERE doc_id < 200
+        ), sig AS (
+          SELECT doc_id,
+                 [{", ".join(f"list_min(list_transform(s, x -> md5(x || ':{i}')))" for i in range(8))}] AS mh
+          FROM sh
+        ), bands AS (
+          SELECT doc_id, b.band,
+                 md5(mh[b.band*2+1] || '|' || mh[b.band*2+2]) AS bucket
+          FROM sig, (SELECT unnest([0,1,2,3]) AS band) b
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(len(list_filter(list_transform(generate_series(1, 8),
+                     i -> sa.mh[i] = sb.mh[i]), x -> x)) / 8.0, 4) AS est_jaccard
+        FROM pairs JOIN sig sa ON sa.doc_id = id_a
+                   JOIN sig sb ON sb.doc_id = id_b
+        ORDER BY id_a, id_b""",
+    note="md5-based minhash => bit-reproducible across engines",
+)
+def dd_minhash(spark, sf):
+    from ..operators.dedup import minhash_lsh_candidates
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return minhash_lsh_candidates(d, "text", "doc_id", k=8, bands=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@q(
+    "dd_ngram_jaccard",
+    "training-data dedup: exact n-gram Jaccard similarity join",
+    f"""WITH sh AS (
+          SELECT doc_id, unnest({_SHINGLE_SQL}) AS s
+          FROM documents WHERE doc_id < 150
+        ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(n_common / (na.n + nb.n - n_common), 4) AS jaccard
+        FROM common JOIN sizes na ON na.doc_id = id_a
+                    JOIN sizes nb ON nb.doc_id = id_b
+        WHERE n_common / (na.n + nb.n - n_common) >= 0.5
+        ORDER BY id_a, id_b""",
+)
+def dd_jaccard(spark, sf):
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    return ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@q(
+    "dd_simhash_pairs",
+    "training-data dedup: SimHash near-dup (vectorized pandas UDF)",
+    None,
+    note="pandas-UDF simhash — rows-only check",
+)
+def dd_simhash(spark, sf):
+    from ..operators.dedup import simhash_pairs
+
+    d = _t(spark, sf, "documents")
+    return simhash_pairs(d, "text", "doc_id", max_hamming=10).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# -------------------------------------------------------- similarity search
+
+
+def _query_vec(spark, sf, vid=0):
+    row = (
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") == vid).head()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+_DOT_SQL = (
+    "list_reduce(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+@q(
+    "sim_cosine_topk",
+    "similarity: brute-force cosine top-k over array<float> embeddings",
+    f"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round({_DOT_SQL.format(a="embedding", b="qv")}
+                     / (sqrt({_DOT_SQL.format(a="embedding", b="embedding")})
+                        * sqrt({_DOT_SQL.format(a="qv", b="qv")})), 6) + 0.0 AS cosine
+        FROM embeddings, q
+        ORDER BY cosine DESC, vec_id LIMIT 10""",
+)
+def sim_topk(spark, sf):
+    from ..operators.similarity import cosine_topk
+
+    e = _t(spark, sf, "embeddings")
+    return cosine_topk(e, "embedding", "vec_id", _query_vec(spark, sf), k=10)
+
+
+@q(
+    "sim_ann_lsh_topk",
+    "similarity: LSH-bucketed approximate top-k (scale path)",
+    None,
+    note="numpy hyperplane signatures — rows-only check",
+)
+def sim_ann(spark, sf):
+    from ..operators.similarity import ann_lsh_topk
+
+    e = _t(spark, sf, "embeddings")
+    return ann_lsh_topk(e, "embedding", "vec_id", _query_vec(spark, sf), k=10)
+
+
+@q(
+    "sim_embedding_neardup",
+    "dedup: embedding-cosine near-duplicate pairs (LSH candidates + verify)",
+    None,
+)
+def sim_neardup(spark, sf):
+    from ..operators.similarity import embedding_neardup_pairs
+
+    e = _t(spark, sf, "embeddings")
+    return embedding_neardup_pairs(
+        e, "embedding", "vec_id", dim=64, threshold=0.2
+    ).orderBy("id_a", "id_b")
+
+
+@q(
+    "sim_centroid_by_label",
+    "similarity: per-label embedding centroid (posexplode + agg)",
+    """SELECT label, i - 1 AS pos,
+              round(avg(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS centroid
+       FROM embeddings, generate_series(1, 64) t(i)
+       GROUP BY label, i ORDER BY label, pos""",
+    note="+0.0 normalizes IEEE negative zero across engines",
+)
+def sim_centroid(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.round(F.avg(F.col("v").cast("double")), 4) + F.lit(0.0)).alias(
+                "centroid"
+            )
+        )
+        .orderBy("label", "pos")
+    )
+
+
+# ------------------------------------------------------------- text analysis
+
+
+@q(
+    "tx_token_stats",
+    "text analysis: token counting (whitespace + BPE-ish regex)",
+    r"""SELECT doc_id,
+              len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+              length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+       FROM documents ORDER BY doc_id""",
+)
+def tx_tokens(spark, sf):
+    from ..functions.text import bpe_ish_token_count, punct_count, token_count
+
+    return (
+        _t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            token_count("text").alias("n_tokens"),
+            bpe_ish_token_count("text").alias("n_bpe_tokens"),
+            punct_count("text").alias("n_punct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "tx_quality_score",
+    "text analysis: document quality scoring (length/punct/token bands)",
+    r"""SELECT doc_id, round((
+           least(length(text) / 500.0, 1.0)
+         + CASE WHEN (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                     / (length(text) + 1.0) <= 0.1 THEN 1.0
+                ELSE greatest(0.0, 1.0 - ((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                     / (length(text) + 1.0) - 0.1) * 5.0) END
+         + CASE WHEN length(text) / (len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) + 1.0)
+                     BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END
+        ) / 3.0, 4) AS quality
+       FROM documents ORDER BY doc_id""",
+)
+def tx_quality(spark, sf):
+    from ..functions.text import quality_score
+
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", quality_score("text").alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
+_HITS_SQL = (
+    "len(list_intersect(list_distinct(list_filter(string_split_regex("
+    r"lower(text), '\s+'), x -> x <> '')), {bank}))"
+)
+_BANKS_SQL = {
+    "en": "['the','and','of','to','in','is','that','with','for','was']",
+    "de": "['der','die','und','das','ist','nicht','mit','ein','von','zu']",
+    "es": "['el','la','de','que','los','por','con','una','para','es']",
+    "fr": "['le','la','les','des','est','une','dans','pour','qui','pas']",
+}
+
+
+@q(
+    "tx_lang_id",
+    "text analysis: language-ID heuristic (stopword-bank argmax)",
+    f"""WITH s AS (
+          SELECT doc_id,
+                 {_HITS_SQL.format(bank=_BANKS_SQL["en"])} AS en_h,
+                 {_HITS_SQL.format(bank=_BANKS_SQL["de"])} AS de_h,
+                 {_HITS_SQL.format(bank=_BANKS_SQL["es"])} AS es_h,
+                 {_HITS_SQL.format(bank=_BANKS_SQL["fr"])} AS fr_h
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN greatest(en_h, de_h, es_h, fr_h) = 0 THEN 'und'
+                    WHEN en_h = greatest(en_h, de_h, es_h, fr_h) THEN 'en'
+                    WHEN de_h = greatest(en_h, de_h, es_h, fr_h) THEN 'de'
+                    WHEN es_h = greatest(en_h, de_h, es_h, fr_h) THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM s ORDER BY doc_id""",
+)
+def tx_langid(spark, sf):
+    from ..functions.text import lang_id
+
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", lang_id("text").alias("pred_lang"))
+        .orderBy("doc_id")
+    )
+
+
+@q(
+    "tx_fingerprint",
+    "text analysis: rolling-hash document fingerprint (min-md5 of 5-grams)",
+    r"""WITH w AS (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+          FROM documents)
+        SELECT doc_id,
+               list_min(list_transform(
+                 generate_series(1, greatest(len(toks) - 4, 1)),
+                 i -> md5(array_to_string(toks[i:i+4], ' ')))) AS fingerprint
+        FROM w ORDER BY doc_id""",
+)
+def tx_fingerprint(spark, sf):
+    from ..functions.text import doc_fingerprint
+
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------- multimodal
+
+
+@q(
+    "mm_binary_metadata",
+    "multimodal: opaque binary column + typed metadata plumbing",
+    """SELECT doc_id AS media_id, strlen(text) AS byte_len,
+              md5(text) AS content_md5,
+              CAST(strlen(text) % 640 + 32 AS INTEGER) AS width
+       FROM documents ORDER BY media_id""",
+)
+def mm_meta(spark, sf):
+    from ..operators.multimodal import as_media_table
+
+    m = as_media_table(_t(spark, sf, "documents"), "doc_id", "text")
+    return m.select(
+        "media_id",
+        F.length("content").cast("long").alias("byte_len"),
+        F.md5("content").alias("content_md5"),
+        F.col("meta.width").alias("width"),
+    ).orderBy("media_id")
+
+
+@q(
+    "mm_extract_features",
+    "multimodal: Arrow-batched decode/feature-extract (stubbed decoder)",
+    None,
+    note="mapInPandas feature extraction — rows-only check",
+)
+def mm_features(spark, sf):
+    from ..operators.multimodal import as_media_table, extract_features
+
+    m = as_media_table(_t(spark, sf, "documents"), "doc_id", "text")
+    return extract_features(m).select(
+        "media_id", "byte_len", "content_md5"
+    ).orderBy("media_id")
+
+
+@q(
+    "mm_sample_frames",
+    "multimodal: frame sampling (1:N mapInPandas)",
+    None,
+)
+def mm_frames(spark, sf):
+    from ..operators.multimodal import as_media_table, sample_frames
+
+    m = as_media_table(
+        _t(spark, sf, "documents").filter(F.col("doc_id") < 100), "doc_id", "text"
+    )
+    return sample_frames(m).orderBy("media_id", "frame_idx")
 
 
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
