@@ -22,12 +22,19 @@ def _fingerprint(df):
     )
 
 
-def test_maxby_equals_salted(spark):
+def test_all_modes_agree(spark):
     ev = generate_changelog_pandas(4000, seed=7)
     df = spark.createDataFrame(ev)
-    a = _fingerprint(lww_resolve(df, mode="maxby"))
-    b = _fingerprint(lww_resolve(df, mode="salted", n_salts=8))
-    assert a == b
+    prints = {
+        mode: _fingerprint(lww_resolve(df, mode=mode, n_salts=8))
+        for mode in ("maxby", "salted", "ordkey", "window")
+    }
+    assert len(set(prints.values())) == 1, prints
+    # ordkey must also agree without the broadcast fast path
+    assert (
+        _fingerprint(lww_resolve(df, mode="ordkey", broadcast_winners=False))
+        == prints["ordkey"]
+    )
 
 
 def test_parallelism_invariance(spark):

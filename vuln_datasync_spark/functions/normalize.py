@@ -47,7 +47,9 @@ _CONTENT_HINTS = [
 @F.pandas_udf(T.StringType())
 def detect_lang_udf(path: pd.Series, content: pd.Series) -> pd.Series:
     """Vectorized language detection: file extension first, then content
-    sniffing, else 'text'. Arrow-batched; no per-row Python UDF."""
+    sniffing, else 'text'. Arrow-batched; no per-row Python UDF.
+    Null path+content (already-resolved rows, nulled JVM-side) -> null."""
+    unresolved = path.isna() & content.isna()
     ext = path.str.rsplit(".", n=1).str[-1].str.lower()
     lang = ext.map(_EXT_LANG)
     missing = lang.isna()
@@ -63,7 +65,9 @@ def detect_lang_udf(path: pd.Series, content: pd.Series) -> pd.Series:
             sniffed[pick] = name
             decided |= hit
         lang[missing] = sniffed
-    return lang.fillna("text")
+    lang = lang.fillna("text")
+    lang[unresolved] = None
+    return lang
 
 
 def ecosystem_from_slug(slug: Column | str) -> Column:
@@ -110,10 +114,22 @@ def normalize_events(events: DataFrame) -> DataFrame:
         & F.col("op").isin("insert", "update", "delete")
         & F.col("commit_seq").isNotNull()
     )
+    # lang resolution ladder: existing value -> JVM-side extension map ->
+    # pandas-UDF content sniff. The UDF's input columns are NULLED OUT
+    # JVM-side for rows already resolved, so Arrow ships ~nothing to Python
+    # on the common path (a full `content` column transfer at 10^10 rows
+    # would dominate the batch runtime).
+    ext = F.lower(F.element_at(F.split("path", "\\."), -1))
+    ext_map = F.create_map(*[F.lit(x) for kv in _EXT_LANG.items() for x in kv])
+    jvm_lang = F.coalesce(F.col("lang"), ext_map[ext])
+    needs_sniff = jvm_lang.isNull() & (F.col("op") != "delete")
+    sniffed = detect_lang_udf(
+        F.when(needs_sniff, F.col("path")), F.when(needs_sniff, F.col("content"))
+    )
     ev = ev.withColumn(
         "lang",
         F.when(F.col("op") == "delete", F.lit(None).cast("string")).otherwise(
-            F.coalesce(F.col("lang"), detect_lang_udf(F.col("path"), F.col("content")))
+            F.coalesce(jvm_lang, sniffed)
         ),
     )
     return ev.withColumn("content_sha256", content_sha256(F.col("content")))

@@ -1,0 +1,108 @@
+"""Cross-source merge resolution — the reference's multi-source semantics
+(SURVEY.md §2.5 M3/M4/M5, A7/A8/A9) as one declarative select.
+
+Reference behavior (/root/reference/internal/merger/merger.go):
+  * source priority osv(1) > gitlab(2) > cve(3) picks the "primary" record
+    (merger.go:17-29, 139-170);
+  * scalars: first-non-empty of (primary, secondary) (merger.go:173-204);
+  * arrays: order-preserving dedup-union, primary first (merger.go:254-275);
+  * maps: secondary first, primary overrides per key (merger.go:278-302);
+  * alternate richness heuristic: longer text + most-recent timestamp wins
+    (normalizer.go:375-428).
+
+Spark restatement: rank per key by (priority, inverse order), take rows 1-2
+via conditional aggregation, then coalesce/array_union/map_zip_with — no
+per-row Python, one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SOURCE_PRIORITY = {"osv": 1, "gitlab": 2, "cve": 3}
+
+
+def source_priority_col(source: Column | str) -> Column:
+    c = F.col(source) if isinstance(source, str) else source
+    expr = F.lit(99)
+    for name, p in sorted(SOURCE_PRIORITY.items(), key=lambda kv: -kv[1]):
+        expr = F.when(c == name, p).otherwise(expr)
+    return expr
+
+
+def coalesce_nonempty(primary: Column, secondary: Column) -> Column:
+    """selectString analog (merger.go:173-185): first non-empty string."""
+    return F.coalesce(F.nullif(primary, F.lit("")), secondary)
+
+
+def map_merge_with_precedence(primary: Column, secondary: Column) -> Column:
+    """Map merge, primary overrides per key (merger.go:278-302). Note
+    map_concat keeps the FIRST occurrence in Spark 4 under LAST_WIN=false
+    semantics variance — map_zip_with is explicit and portable."""
+    return F.map_zip_with(primary, secondary, lambda _k, p, s: F.coalesce(p, s))
+
+
+def priority_merge(
+    df: DataFrame,
+    key_cols: list[str],
+    scalar_cols: list[str],
+    array_cols: list[str] | None = None,
+    source_col: str = "source",
+    order_col: str = "commit_seq",
+) -> DataFrame:
+    """Resolve multi-source records per key: the best-priority record is
+    primary, the next supplements missing fields (M3+M4).
+
+    One aggregation: rank rows per key by (priority, -order), keep ranks
+    1-2 via min_by-style structs, then field-wise coalesce.
+    """
+    array_cols = array_cols or []
+    pri = source_priority_col(source_col)
+    rank_struct = F.struct(
+        pri.alias("_p"),
+        (-F.col(order_col)).alias("_no"),
+        F.struct(
+            *[F.col(c) for c in scalar_cols + array_cols + [source_col, order_col]]
+        ).alias("_r"),
+    )
+    agg = df.groupBy(*key_cols).agg(
+        F.min(rank_struct).alias("w1"),
+        # F.get: null (not ANSI error) when the key has a single source
+        F.get(F.sort_array(F.collect_list(rank_struct)), 1).alias("w2"),
+        F.count("*").alias("n_sources"),
+    )
+    p = F.col("w1._r")
+    s = F.when(F.col("n_sources") > 1, F.col("w2._r"))
+    out_cols: list[Column] = [F.col(c) for c in key_cols]
+    for c in scalar_cols:
+        out_cols.append(coalesce_nonempty(p[c], s[c]).alias(c))
+    for c in array_cols:
+        out_cols.append(
+            F.array_union(
+                F.coalesce(p[c], F.array()), F.coalesce(s[c], F.array())
+            ).alias(c)
+        )
+    out_cols.append(
+        F.when(
+            F.col("n_sources") > 1, F.array_sort(F.array(p[source_col], s[source_col]))
+        )
+        .otherwise(F.array(p[source_col]))
+        .alias("sources")
+    )
+    out_cols.append(F.greatest(p[order_col], s[order_col]).alias(order_col))
+    return agg.select(*out_cols)
+
+
+def richness_merge(
+    existing_details: Column, new_details: Column, existing_ts: Column, new_ts: Column
+) -> list[Column]:
+    """M5 alternate merge (normalizer.go:375-428): keep the longer text and
+    the most recent timestamp."""
+    details = F.when(
+        F.length(F.coalesce(new_details, F.lit(""))) > F.length(
+            F.coalesce(existing_details, F.lit(""))
+        ),
+        new_details,
+    ).otherwise(existing_details)
+    return [details.alias("details"), F.greatest(existing_ts, new_ts).alias("ts")]

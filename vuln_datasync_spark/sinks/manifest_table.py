@@ -229,6 +229,10 @@ class ManifestTable:
 
         batch = winners.withColumn("is_deleted", F.col("op") == "delete")
         batch = batch.withColumn("_bucket", self.bucket_expr())
+        # NOTE: deliberately NOT persisted. The stats job below is fully
+        # column-pruned by Catalyst (key+ord columns only — no content, no
+        # UDF; verified via explain), and its winners-agg shuffle is reused
+        # by the write job, so the full-payload pipeline runs exactly once.
 
         # per-bucket stats in ONE job (also yields affected-bucket list)
         bstats = {
@@ -259,8 +263,11 @@ class ManifestTable:
         # (commit_seq, commit, op) order, so max-by-order implements
         # WHEN MATCHED AND b.ord > t.ord THEN UPDATE/DELETE, WHEN NOT
         # MATCHED THEN INSERT, and replays/out-of-order arrivals are no-ops.
+        # window mode: the union has <= 2 rows per key (one stored winner +
+        # one batch winner), so the per-key sort is constant-size — single
+        # pass, no skew exposure, payload never aggregates.
         merged = lww_resolve(
-            target.unionByName(batch), mode="maxby", key_cols=self.key_cols
+            target.unionByName(batch), mode="window", key_cols=self.key_cols
         )
         merged = merged.withColumn("_bucket", self.bucket_expr())
 

@@ -32,7 +32,7 @@ def apply_batch(
     table: ManifestTable,
     checkpoint_id: str = "adhoc",
     batch_id: int = 0,
-    lww_mode: str = "maxby",
+    lww_mode: str = "ordkey",
     n_salts: int = 16,
 ) -> dict | None:
     """Apply one changelog batch to the table; returns the lineage record.
@@ -78,7 +78,7 @@ def run_stream(
     checkpoint_dir: str,
     schema,
     max_files_per_trigger: int | None = None,
-    lww_mode: str = "maxby",
+    lww_mode: str = "ordkey",
     n_salts: int = 16,
     on_batch=None,
 ):
