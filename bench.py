@@ -121,7 +121,27 @@ def replay_worker(master: str, log_dir: str):
 
 SCALE_N = os.environ.get("SPARK_GRAFT_SCALE_N", "4")
 SCALE_4N = os.environ.get("SPARK_GRAFT_SCALE_4N", "16")
-SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))
+
+
+def _cpu_capacity(n_workers: int, seconds: float = 2.0) -> float:
+    """Measure the host's ACHIEVABLE aggregate compute at n_workers
+    (pure-python spin, no I/O). The sandbox is a shared microVM whose
+    effective core count drifts; the engine's scaling efficiency is only
+    meaningful relative to what the hardware itself can scale to at the
+    same moment."""
+    import multiprocessing as mp
+    import time as _t
+
+    def burn(_):
+        t0 = _t.time()
+        x = 0
+        while _t.time() - t0 < seconds:
+            x += 1
+        return x
+
+    with mp.Pool(n_workers) as p:
+        return sum(p.map(burn, range(n_workers))) / seconds
 
 
 def _worker_eps(master: str, log_dir: str) -> float:
@@ -151,13 +171,16 @@ def run_scaling(log_dir: str) -> dict:
         log_dir = staged
     a, b = f"local[{SCALE_N}]", f"local[{SCALE_4N}]"
     runs = {a: [], b: []}
-    ratios = []
+    ratios, hw_ratios = [], []
     for _ in range(SCALE_REPS):
+        hw_n = _cpu_capacity(int(SCALE_N))
         ea = _worker_eps(a, log_dir)
         eb = _worker_eps(b, log_dir)
+        hw_4n = _cpu_capacity(int(SCALE_4N))
         runs[a].append(ea)
         runs[b].append(eb)
         ratios.append(eb / (4.0 * ea))
+        hw_ratios.append(hw_4n / (4.0 * hw_n))
     med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
     res = {
         a: med(runs[a]),
@@ -165,12 +188,20 @@ def run_scaling(log_dir: str) -> dict:
         "runs": runs,
         "n": int(SCALE_N),
         "4n": int(SCALE_4N),
-        # per-pair ratios: each N/4N pair runs back-to-back (~1 min), so the
-        # pair shares host conditions even though the host drifts across
-        # minutes; the median ratio is the robust efficiency estimate
+        # per-pair ratios: each N/4N pair runs back-to-back, so the pair
+        # shares host conditions even though the shared-hypervisor host
+        # drifts across minutes; medians are the robust estimates.
         "pair_efficiencies": [round(r, 3) for r in ratios],
+        # what the HARDWARE could scale to at the same moments (pure-CPU
+        # burn, no I/O): the engine cannot exceed this; efficiency_vs_hw
+        # is the engine's share of achievable scaling.
+        "hw_pair_efficiencies": [round(r, 3) for r in hw_ratios],
     }
     res["efficiency"] = round(med(ratios), 3)
+    res["hw_efficiency"] = round(med(hw_ratios), 3)
+    res["efficiency_vs_hw"] = round(
+        min(1.0, res["efficiency"] / max(res["hw_efficiency"], 1e-9)), 3
+    )
     return res
 
 

@@ -1,0 +1,76 @@
+"""CLI subcommands + table maintenance (expire tombstones/snapshots)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from vuln_datasync_spark import cli
+from vuln_datasync_spark.datagen import generate_changelog_pandas, write_changelog
+from vuln_datasync_spark.sinks.manifest_table import ManifestTable
+from vuln_datasync_spark.streaming.pipeline import apply_batch
+
+from .test_cdc_e2e import CHANGELOG_SCHEMA
+
+
+def test_cli_replay_stats_export(spark, tmp_path, capsys, monkeypatch):
+    # keep the CLI on the already-running test session
+    monkeypatch.setattr(cli, "_spark", lambda args: spark)
+    ev = generate_changelog_pandas(1500, seed=31)
+    log = tmp_path / "log"
+    write_changelog(ev, str(log), n_files=2)
+    tbl = str(tmp_path / "tbl")
+
+    assert cli.main(["replay", "--changelog", str(log), "--table", tbl]) == 0
+    lineage = json.loads(capsys.readouterr().out.strip())
+    assert lineage["rows_applied"] > 0
+
+    assert cli.main(["stats", "--table", tbl]) == 0
+    stats = json.loads(capsys.readouterr().out.strip())
+    assert stats["rows"] > 0 and stats["batches_applied"] == 1
+
+    out = str(tmp_path / "exp")
+    assert cli.main(
+        ["export", "--table", tbl, "--out", out, "--format", "json"]
+    ) == 0
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["rows"] == stats["rows"] - stats["tombstones"]
+    assert spark.read.json(out).count() == rec["rows"]
+
+
+def test_cli_synth_and_stream(spark, tmp_path, capsys, monkeypatch):
+    monkeypatch.setattr(cli, "_spark", lambda args: spark)
+    log = str(tmp_path / "slog")
+    assert cli.main(["synth", "--events", "2000", "--out", log]) == 0
+    capsys.readouterr()
+    tbl = str(tmp_path / "stbl")
+    assert cli.main(
+        ["stream", "--changelog", log, "--table", tbl,
+         "--checkpoint", str(tmp_path / "ckpt")]
+    ) == 0
+    t = ManifestTable(spark, tbl)
+    assert t.read().count() > 0
+
+
+def test_expire_tombstones_and_snapshots(spark, tmp_path):
+    rows = [
+        (1, "insert", "r1", "a.py", "c1", "python", "v1", None, None),
+        (2, "delete", "r1", "a.py", "c2", None, None, None, None),
+        (3, "insert", "r2", "b.py", "c3", "python", "v3", None, None),
+        (4, "delete", "r2", "b.py", "c4", None, None, None, None),
+        (5, "insert", "r2", "b.py", "c5", "python", "v5", None, None),
+    ]
+    t = ManifestTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_batch(spark.createDataFrame(rows, CHANGELOG_SCHEMA), t, "c", 0)
+    tombs = t.read(include_tombstones=True).filter(F.col("is_deleted"))
+    assert tombs.count() == 1  # r1/a.py (r2/b.py was re-inserted)
+
+    sid = t.expire_tombstones(below_seq=100)
+    assert sid is not None
+    assert t.read(include_tombstones=True).filter(F.col("is_deleted")).count() == 0
+    assert {r["repo"] for r in t.read().collect()} == {"r2"}
+
+    n_before = len(t.snapshots())
+    t.expire_snapshots(keep=1)
+    assert len(t.snapshots()) == 1
+    assert {r["repo"] for r in t.read().collect()} == {"r2"}  # data survives
+    assert n_before > 1

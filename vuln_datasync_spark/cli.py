@@ -1,0 +1,199 @@
+"""spark-submit entrypoint for the CDC engine.
+
+Ship the package with --py-files and drive it with subcommands::
+
+    # package once (pure-python package, no build step)
+    cd /root/repo && zip -r /tmp/vds.zip vuln_datasync_spark
+
+    spark-submit --py-files /tmp/vds.zip -m vuln_datasync_spark.cli -- \\
+        stream --changelog /data/changelog --table /lake/repo_files \\
+               --checkpoint /ckpt/repo_files --max-files-per-trigger 16
+
+    # or equivalently
+    spark-submit --py-files /tmp/vds.zip cli_shim.py replay ...
+
+Subcommands:
+  replay   batch-apply a whole changelog directory to the table
+  stream   tail the changelog with Structured Streaming (availableNow or
+           processingTime trigger), exactly-once, resumable
+  export   snapshot export to json/csv (optionally gzip)
+  stats    table + lineage summary (reference /api/v1/stats analog)
+  compact  expire old snapshots and drop aged tombstones
+  synth    generate a deterministic synthetic changelog (testing)
+
+Reference analog: the HTTP/job API surface of vuln-datasync
+(/root/reference/internal/api/server.go:110-322) collapsed into a CLI —
+Spark's scheduler replaces the Redis/Asynq job queue (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark("vds-cli", master=args.master)
+
+
+def cmd_replay(args) -> int:
+    from .sinks.manifest_table import ManifestTable
+    from .sources.changelog import read_changelog_batch
+    from .streaming.pipeline import apply_batch
+
+    spark = _spark(args)
+    import os
+
+    if os.path.exists(os.path.join(args.table, "_table.json")):
+        table = ManifestTable(spark, args.table)
+    else:
+        table = ManifestTable.create(spark, args.table, n_buckets=args.buckets)
+    events = read_changelog_batch(
+        spark, args.changelog, fmt=args.format, since_seq=args.since_seq
+    )
+    lineage = apply_batch(
+        events, table, checkpoint_id=args.job_id, batch_id=args.batch_id,
+        lww_mode=args.lww_mode,
+    )
+    print(json.dumps(lineage))
+    return 0
+
+
+def cmd_stream(args) -> int:
+    from .streaming.pipeline import run_stream
+    from .sources.changelog import changelog_schema
+
+    spark = _spark(args)
+    run_stream(
+        spark,
+        args.changelog,
+        args.table,
+        args.checkpoint,
+        changelog_schema(),
+        max_files_per_trigger=args.max_files_per_trigger,
+        lww_mode=args.lww_mode,
+    )
+    return 0
+
+
+def cmd_export(args) -> int:
+    from .sinks.export import export_table
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    rec = export_table(
+        table, args.out, fmt=args.format, compression=args.compress,
+        snapshot_id=args.snapshot,
+    )
+    print(json.dumps(rec))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    df = table.read(include_tombstones=True)
+    row = df.agg(
+        F.count("*").alias("rows"),
+        F.count(F.when(F.col("is_deleted"), 1)).alias("tombstones"),
+        F.countDistinct("repo").alias("repos"),
+        F.max("commit_seq").alias("max_seq"),
+    ).first()
+    out = dict(row.asDict())
+    out["snapshots"] = len(table.snapshots())
+    lineage = table.read_lineage()
+    out["batches_applied"] = lineage.select("checkpoint_id", "batch_id").distinct().count()
+    print(json.dumps(out, default=str))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    if args.expire_tombstones_below is not None:
+        table.expire_tombstones(args.expire_tombstones_below)
+    table.expire_snapshots(keep=args.keep_snapshots)
+    print(json.dumps({"snapshots": len(table.snapshots())}))
+    return 0
+
+
+def cmd_synth(args) -> int:
+    from .datagen import generate_changelog_spark
+
+    spark = _spark(args)
+    df = generate_changelog_spark(spark, args.events, seed=args.seed)
+    df.repartition(args.files).write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"events": args.events, "out": args.out}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vuln_datasync_spark")
+    p.add_argument("--master", default=None, help="override spark master")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("replay", help="batch-apply a changelog")
+    r.add_argument("--changelog", required=True)
+    r.add_argument("--table", required=True)
+    r.add_argument("--format", default="parquet", choices=["parquet", "json"])
+    r.add_argument("--since-seq", type=int, default=None)
+    r.add_argument("--buckets", type=int, default=64)
+    r.add_argument("--job-id", default="cli")
+    r.add_argument("--batch-id", type=int, default=0)
+    r.add_argument("--lww-mode", default="ordkey",
+                   choices=["ordkey", "window", "salted", "maxby"])
+    r.set_defaults(fn=cmd_replay)
+
+    s = sub.add_parser("stream", help="tail the changelog (exactly-once)")
+    s.add_argument("--changelog", required=True)
+    s.add_argument("--table", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--max-files-per-trigger", type=int, default=None)
+    s.add_argument("--lww-mode", default="ordkey",
+                   choices=["ordkey", "window", "salted", "maxby"])
+    s.set_defaults(fn=cmd_stream)
+
+    e = sub.add_parser("export", help="snapshot export")
+    e.add_argument("--table", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--format", default="json", choices=["json", "csv"])
+    e.add_argument("--compress", action="store_true")
+    e.add_argument("--snapshot", default=None)
+    e.set_defaults(fn=cmd_export)
+
+    st = sub.add_parser("stats", help="table + lineage summary")
+    st.add_argument("--table", required=True)
+    st.set_defaults(fn=cmd_stats)
+
+    c = sub.add_parser("compact", help="expire snapshots / tombstones")
+    c.add_argument("--table", required=True)
+    c.add_argument("--keep-snapshots", type=int, default=3)
+    c.add_argument("--expire-tombstones-below", type=int, default=None)
+    c.set_defaults(fn=cmd_compact)
+
+    g = sub.add_parser("synth", help="generate a synthetic changelog")
+    g.add_argument("--events", type=int, default=100000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--files", type=int, default=8)
+    g.add_argument("--out", required=True)
+    g.set_defaults(fn=cmd_synth)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -55,7 +55,10 @@ def get_spark(
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.compression.codec": "zstd",
         "spark.ui.enabled": "false",
-        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"),
+        # NOT larger: oversized heaps measured 2-3x slower on this workload
+        # (GC young-gen scaling + page-zeroing); 16g comfortably fits the
+        # bench working set while keeping GC pauses short
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         # file-source streaming + dynamic partition overwrite defaults
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
     }

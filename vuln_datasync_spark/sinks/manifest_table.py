@@ -388,6 +388,68 @@ class ManifestTable:
 
     # ---------- maintenance ----------
 
+    def expire_tombstones(self, below_seq: int):
+        """Physically drop delete tombstones with commit_seq < below_seq.
+
+        Safe once the stream guarantees no event older than ``below_seq``
+        can still arrive (checkpoint watermark) — before that, tombstones
+        must stay so late out-of-order updates cannot resurrect deleted
+        keys (SURVEY.md §7.3 #5). Rewrites only buckets containing aged
+        tombstones; commits a new snapshot.
+        """
+        import pyspark.sql.functions as F  # local alias for clarity
+
+        m = self.manifest()
+        if m is None:
+            return None
+        full = self.read(include_tombstones=True)
+        aged = full.filter(
+            F.col("is_deleted") & (F.col("commit_seq") < below_seq)
+        ).withColumn("_bucket", self.bucket_expr())
+        affected = sorted(
+            r["_bucket"] for r in aged.select("_bucket").distinct().collect()
+        )
+        if not affected:
+            return None
+        kept = (
+            self.read(include_tombstones=True, buckets=affected)
+            .filter(
+                ~(F.col("is_deleted") & (F.col("commit_seq") < below_seq))
+            )
+            .withColumn("_bucket", self.bucket_expr())
+        )
+        sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        snap_rel = os.path.join("data", f"snap-{sid}")
+        snap_dir = os.path.join(self.root, snap_rel)
+        (
+            kept.repartition(len(affected), "_bucket")
+            .withColumnRenamed("_bucket", "bucket")
+            .write.partitionBy("bucket")
+            .parquet(snap_dir)
+        )
+        new_files: dict[str, list[str]] = {b: [] for b in map(str, affected)}
+        for bdir in glob.glob(os.path.join(snap_dir, "bucket=*")):
+            b = bdir.rsplit("=", 1)[1]
+            new_files[b] = [
+                os.path.join(snap_rel, os.path.basename(bdir), os.path.basename(p))
+                for p in glob.glob(os.path.join(bdir, "*.parquet"))
+            ]
+        files = dict(m["files"])
+        for b in affected:
+            files.pop(str(b), None)
+        files.update({b: ps for b, ps in new_files.items() if ps})
+        manifest = {
+            "snapshot_id": sid,
+            "parent": m["snapshot_id"],
+            "epoch": f"maintenance:expire_tombstones:{sid}",
+            "applied_epochs": m["applied_epochs"],
+            "schema": m["schema"],
+            "files": files,
+            "lineage": None,
+        }
+        self._commit(manifest, expected_parent=m["snapshot_id"])
+        return sid
+
     def expire_snapshots(self, keep: int = 3):
         """Drop manifests (and data files unreachable from the kept set) —
         Iceberg expire_snapshots analog; reference analog: retention cleanup
