@@ -34,7 +34,11 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# default 8, not 32: this microVM serializes concurrent page faults inside
+# one process, so a single 32-thread JVM anti-scales (measured); 8 cores
+# matches standard executor sizing (a real cluster runs many 4-8 core
+# executors, not one 32-core one). Override with SPARK_GRAFT_CPUS.
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "8")
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
 WORK = os.path.join(REPO, ".work", "bench")
 
@@ -102,19 +106,22 @@ def replay(spark, log_dir: str, lww_mode: str = "maxby", warmup: bool = True) ->
         )
         apply_batch(raw.limit(20000), wtab, "warm", 0, lww_mode=lww_mode)
     table = ManifestTable.create(spark, os.path.join(tbl_dir, "t"), n_buckets=64)
+    bcast = os.environ.get("SPARK_GRAFT_NO_BCAST") != "1"
     t0 = time.monotonic()
-    lineage = apply_batch(raw, table, "bench", 0, lww_mode=lww_mode)
+    lineage = apply_batch(
+        raw, table, "bench", 0, lww_mode=lww_mode, broadcast_winners=bcast
+    )
     sec = time.monotonic() - t0
     shutil.rmtree(tbl_dir, ignore_errors=True)
     assert lineage is not None and lineage["rows_applied"] > 0
     return {"events": n, "sec": round(sec, 3), "events_per_sec": round(n / sec, 1)}
 
 
-def replay_worker(master: str, log_dir: str):
+def replay_worker(master: str, log_dir: str, lww_mode: str = "ordkey"):
     from vuln_datasync_spark.session import get_spark
 
     spark = get_spark(f"vds-bench-{master}", master=master)
-    out = replay(spark, log_dir)
+    out = replay(spark, log_dir, lww_mode)
     spark.stop()
     print(json.dumps(out))
 
@@ -124,6 +131,14 @@ SCALE_4N = os.environ.get("SPARK_GRAFT_SCALE_4N", "16")
 SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))
 
 
+def _burn(seconds: float) -> int:
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < seconds:
+        x += 1
+    return x
+
+
 def _cpu_capacity(n_workers: int, seconds: float = 2.0) -> float:
     """Measure the host's ACHIEVABLE aggregate compute at n_workers
     (pure-python spin, no I/O). The sandbox is a shared microVM whose
@@ -131,17 +146,9 @@ def _cpu_capacity(n_workers: int, seconds: float = 2.0) -> float:
     meaningful relative to what the hardware itself can scale to at the
     same moment."""
     import multiprocessing as mp
-    import time as _t
-
-    def burn(_):
-        t0 = _t.time()
-        x = 0
-        while _t.time() - t0 < seconds:
-            x += 1
-        return x
 
     with mp.Pool(n_workers) as p:
-        return sum(p.map(burn, range(n_workers))) / seconds
+        return sum(p.map(_burn, [seconds] * n_workers)) / seconds
 
 
 def _worker_eps(master: str, log_dir: str) -> float:
@@ -208,7 +215,7 @@ def run_scaling(log_dir: str) -> dict:
 def main():
     os.makedirs(WORK, exist_ok=True)
     if len(sys.argv) > 1 and sys.argv[1] == "--replay-worker":
-        replay_worker(sys.argv[2], sys.argv[3])
+        replay_worker(sys.argv[2], sys.argv[3], *sys.argv[4:5])
         return
 
     skip_scaling = os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"

@@ -59,8 +59,8 @@ def _ord_key() -> F.Column:
     fixed-width). Requires commit_seq >= 0."""
     return F.concat(
         F.lpad(F.col("commit_seq").cast("string"), 19, "0"),
-        F.col("commit"),
-        F.col("op"),
+        F.coalesce(F.col("commit"), F.lit("")),  # null commit must not
+        F.coalesce(F.col("op"), F.lit("")),  # null out the whole key
     )
 
 

@@ -649,6 +649,53 @@ def f11(spark, sf):
     )
 
 
+@q(
+    "m7_id_validation",
+    "M7 internal/utils/id_generator.go:33-62 (structural id check)",
+    """SELECT count(*) AS n_total,
+              count(*) FILTER (WHERE regexp_full_match(
+                  concat('VULN-',
+                         CAST(CAST(concat('0x', substring(sha256(text), 1, 4)) AS INTEGER)
+                              % 9000 + 1000 AS VARCHAR),
+                         '-', upper(substring(sha256(text), 5, 4))),
+                  'VULN-[0-9]{4}-[0-9A-F]{4}')) AS n_valid
+       FROM documents""",
+)
+def m7(spark, sf):
+    from ..functions.hashing import vuln_id_is_valid
+
+    d = _t(spark, sf, "documents")
+    return d.agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(vuln_id_is_valid(vuln_id("text")), 1)).alias("n_valid"),
+    )
+
+
+@q(
+    "u3_array_membership",
+    "U3 sql/vulnerabilities.sql:5 (= ANY(array)) / U4 arrays_overlap",
+    """SELECT source,
+              count(*) FILTER (WHERE list_contains(
+                  string_split(substring(text, 1, 200), ' '), 'the')) AS with_the,
+              count(*) FILTER (WHERE list_has_any(
+                  string_split(substring(text, 1, 200), ' '),
+                  ['table', 'row', 'scan'])) AS with_any_kw
+       FROM documents GROUP BY source ORDER BY source""",
+)
+def u3(spark, sf):
+    d = _t(spark, sf, "documents")
+    words = F.split(F.substring("text", 1, 200), " ")
+    kw = F.array(F.lit("table"), F.lit("row"), F.lit("scan"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.when(F.array_contains(words, "the"), 1)).alias("with_the"),
+            F.count(F.when(F.arrays_overlap(words, kw), 1)).alias("with_any_kw"),
+        )
+        .orderBy("source")
+    )
+
+
 # ------------------------------------------------- dedup / curation ops
 
 

@@ -59,6 +59,16 @@ def get_spark(
         # (GC young-gen scaling + page-zeroing); 16g comfortably fits the
         # bench working set while keeping GC pauses short
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        # This microVM serializes concurrent page faults catastrophically
+        # (measured: fresh-page memcpy 112 GB/s at 4 workers -> 2 GB/s at
+        # 16; steady-state after pre-fault scales to 733 GB/s at 32).
+        # Pre-touching the full heap at JVM startup moves all heap faulting
+        # out of query execution.
+        "spark.driver.extraJavaOptions": os.environ.get(
+            "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+            f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '16g')} "
+            "-XX:+AlwaysPreTouch",
+        ),
         # file-source streaming + dynamic partition overwrite defaults
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
     }

@@ -34,11 +34,16 @@ def apply_batch(
     batch_id: int = 0,
     lww_mode: str = "ordkey",
     n_salts: int = 16,
+    broadcast_winners: bool = True,
 ) -> dict | None:
     """Apply one changelog batch to the table; returns the lineage record.
 
     The source offset range (min/max commit_seq) is captured with
     ``DataFrame.observe`` during the merge's own jobs — no extra scan.
+
+    ``broadcast_winners=False`` switches the ordkey LWW to a shuffle
+    semi-join — required when a single micro-batch's key set is too large
+    to broadcast (driver memory bound).
     """
     obs = Observation()
     ev = normalize_events(events).observe(
@@ -46,7 +51,9 @@ def apply_batch(
         F.min("commit_seq").alias("seq_start"),
         F.max("commit_seq").alias("seq_end"),
     )
-    winners = lww_resolve(ev, mode=lww_mode, n_salts=n_salts)
+    winners = lww_resolve(
+        ev, mode=lww_mode, n_salts=n_salts, broadcast_winners=broadcast_winners
+    )
 
     def seq_range():
         try:
@@ -81,6 +88,8 @@ def run_stream(
     lww_mode: str = "ordkey",
     n_salts: int = 16,
     on_batch=None,
+    processing_time: str | None = None,
+    await_termination: bool = True,
 ):
     """Tail a changelog directory (file source stands in for the Iceberg/
     Kafka changelog; offsets live in the Structured Streaming checkpoint)
@@ -117,11 +126,17 @@ def run_stream(
         if on_batch is not None:
             on_batch(batch_id, lineage)
 
-    query = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if processing_time is not None:
+        # long-lived tail (reference analog: SYNC_INTERVAL scheduling,
+        # /root/reference/internal/config/config.go:105-108)
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if not await_termination:
+        return table, query
     query.awaitTermination()
     return table
