@@ -28,8 +28,11 @@ def entry(spark: SparkSession) -> DataFrame:
         generate_changelog_pandas,
         write_changelog,
     )
+    from vuln_datasync_spark.plans.queries import ensure_shipped
     from vuln_datasync_spark.sinks import ManifestTable
     from vuln_datasync_spark.streaming import apply_batch
+
+    ensure_shipped(spark)  # workers need the package for pandas UDFs
 
     work = tempfile.mkdtemp(prefix="vds_entry_")
     ev = generate_changelog_pandas(6000, seed=42)

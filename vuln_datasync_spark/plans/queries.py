@@ -32,6 +32,38 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship this package to executors via addPyFile (idempotent per
+    session). Python workers import pickled-by-reference module functions
+    (pandas UDFs, applyInPandasWithState) and do NOT inherit the driver's
+    sys.path — without this, UDF-bearing queries fail with
+    ModuleNotFoundError whenever the driver's cwd isn't the repo root.
+    Equivalent to spark-submit --py-files."""
+    sc = spark.sparkContext
+    if getattr(sc, "_vds_pkg_shipped", False):
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"vds_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in dirpath:
+                    continue
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        zf.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    sc._vds_pkg_shipped = True
+
+
 @dataclass
 class QueryDef:
     name: str
@@ -1032,8 +1064,17 @@ def mm_frames(spark, sf):
     return sample_frames(m).orderBy("media_id", "frame_idx")
 
 
+def _wrap(fn: Callable) -> Callable:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
+
+
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {qd.name: qd.spark_fn for qd in QUERIES}
+    return {qd.name: _wrap(qd.spark_fn) for qd in QUERIES}
 
 
 def oracle_sql_map() -> dict[str, str]:
