@@ -40,3 +40,12 @@ def vuln_id_is_valid(id_col: Column | str) -> Column:
     (/root/reference/internal/utils/id_generator.go:33-62)."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     return (F.length(c) == 14) & c.rlike(VULN_ID_RE)
+
+
+def sanitize_aliases(aliases: Column | str) -> Column:
+    """P5: drop engine-generated VULN ids from an alias array so matching
+    only ever happens on original source ids — the higher-order-filter form
+    of /root/reference/internal/merger/merger.go:108-121
+    (filterValidAliases)."""
+    c = F.col(aliases) if isinstance(aliases, str) else aliases
+    return F.filter(c, lambda a: ~vuln_id_is_valid(a))

@@ -70,13 +70,40 @@ def detect_lang_udf(path: pd.Series, content: pd.Series) -> pd.Series:
     return lang
 
 
+# package-manager slug -> ecosystem (normalizer.go:313-336, the switch in
+# extractEcosystemFromPackageSlug); anything unmapped falls through to the
+# segment itself (the reference's `default: return first`)
+_SLUG_ECOSYSTEM = {
+    "gem": "rubygems",
+    "ruby": "rubygems",
+    "npm": "npm",
+    "node": "npm",
+    "pip": "pypi",
+    "python": "pypi",
+    "pypi": "pypi",
+    "go": "go",
+    "golang": "go",
+    "maven": "maven",
+    "java": "maven",
+    "nuget": "nuget",
+    "dotnet": "nuget",
+    ".net": "nuget",
+}
+
+
 def ecosystem_from_slug(slug: Column | str) -> Column:
-    """First path segment, lowered, mapped through a small dim — the
-    chained-when form of normalizer.go:313-336."""
+    """First path segment, lowered, mapped through the package-manager dim —
+    the chained-when form of
+    /root/reference/internal/merger/normalizer.go:313-336. Unmapped slugs
+    return the segment itself (reference `default:` branch); an empty slug
+    returns '' exactly as the reference does (Go Split never yields an
+    empty slice, so the 'unknown' branch there is unreachable)."""
     c = F.col(slug) if isinstance(slug, str) else slug
     seg = F.lower(F.split(c, "/")[0])
-    mapping = F.create_map(*[F.lit(x) for kv in _EXT_LANG.items() for x in kv])
-    return F.coalesce(mapping[seg], F.lit("unknown"))
+    mapping = F.create_map(
+        *[F.lit(x) for kv in _SLUG_ECOSYSTEM.items() for x in kv]
+    )
+    return F.coalesce(mapping[seg], seg)
 
 
 def summary_truncate(details: Column | str, max_len: int = 100) -> Column:

@@ -53,15 +53,22 @@ def _ord_struct() -> F.Column:
     return F.struct(*[F.col(c) for c in LWW_ORDER_COLS]).alias("_ord")
 
 
+COMMIT_PAD_WIDTH = 40  # sha1/truncated-sha256 hex width
+
+
 def _ord_key() -> F.Column:
     """Compact string encoding of (commit_seq, commit, op) whose string
-    order equals the tuple order (commit_seq zero-padded to 19; commit is
-    fixed-width). Requires commit_seq >= 0."""
+    order equals the tuple order: commit_seq zero-padded to 19 (requires
+    commit_seq >= 0), commit right-padded with ' ' (0x20 < any hex/alnum
+    char) to a fixed 40 so variable-length commits can never compare
+    across field boundaries against op. Commits longer than 40 chars are
+    compared on their first 40 (rpad truncates) — full hashes are <= 40
+    hex in practice; ties beyond that fall to op."""
     return F.concat(
         F.lpad(F.col("commit_seq").cast("string"), 19, "0"),
-        F.coalesce(F.col("commit"), F.lit("")),  # null commit must not
-        F.coalesce(F.col("op"), F.lit("")),  # null out the whole key
-    )
+        F.rpad(F.coalesce(F.col("commit"), F.lit("")), COMMIT_PAD_WIDTH, " "),
+        F.coalesce(F.col("op"), F.lit("")),  # null fields must not null
+    )  # out the whole key
 
 
 def lww_resolve(
@@ -69,12 +76,20 @@ def lww_resolve(
     mode: str = "ordkey",
     n_salts: int = 16,
     key_cols: tuple[str, ...] = KEY_COLS,
-    broadcast_winners: bool = True,
+    broadcast_winners: bool | str = "auto",
 ) -> DataFrame:
     """Reduce a change-event batch to one winning event per key.
 
     Input: normalized events (must contain key_cols + LWW_ORDER_COLS).
     Output: one row per key, original event columns.
+
+    ``broadcast_winners`` (ordkey mode only): "auto" (default) plans a
+    regular join and lets AQE convert it to a broadcast semi-join at
+    runtime from the winner set's MEASURED shuffle size — safe at any key
+    cardinality (a 10^9-key backfill batch exceeds broadcast limits and
+    must shuffle; a micro-batch's winner set broadcasts for free). True
+    forces the broadcast hint (only when the caller KNOWS the key count is
+    small); False forces the shuffle path.
     """
     payload_cols = [c for c in events.columns if c not in key_cols]
     packed = F.struct(
@@ -86,7 +101,7 @@ def lww_resolve(
 
         with_key = events.withColumn("_ok", _ord_key())
         winners = with_key.groupBy(*key_cols).agg(F.max("_ok").alias("_ok"))
-        if broadcast_winners:
+        if broadcast_winners is True:
             winners = F.broadcast(winners)
         semi = with_key.join(winners, [*key_cols, "_ok"], "left_semi")
         # exact duplicate events both pass the semi join; dedup via a

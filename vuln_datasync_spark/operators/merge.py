@@ -18,7 +18,10 @@ per-row Python, one shuffle.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+
+from ..functions.hashing import sanitize_aliases
 
 SOURCE_PRIORITY = {"osv": 1, "gitlab": 2, "cve": 3}
 
@@ -92,6 +95,68 @@ def priority_merge(
     )
     out_cols.append(F.greatest(p[order_col], s[order_col]).alias(order_col))
     return agg.select(*out_cols)
+
+
+def raw_data_envelope(primary: Column, secondary: Column) -> Column:
+    """A9: wrap both sources' raw payloads in a provenance envelope map,
+    omitting absent sides (mergeRawData,
+    /root/reference/internal/merger/merger.go:305-316)."""
+    return F.map_filter(
+        F.create_map(
+            F.lit("primary_source"),
+            primary,
+            F.lit("secondary_source"),
+            secondary,
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+
+
+def alias_overlap_match(
+    incoming: DataFrame,
+    existing: DataFrame,
+    id_col: str = "vuln_id",
+    alias_col: str = "aliases",
+    source_col: str = "source",
+    order_col: str = "commit_seq",
+) -> DataFrame:
+    """J1: the reference's alias-overlap dedup join — for every incoming
+    record, find the best existing record sharing ANY alias
+    (/root/reference/sql/vulnerabilities.sql:7-17 `aliases && $1::text[]`
+    with source-priority ordering + /root/reference/internal/merger/
+    merger.go:74-121 FindMatchingVulnerability + filterValidAliases).
+
+    Plan: sanitize aliases (engine-generated VULN ids never match), explode
+    BOTH sides to (id, alias) rows, equi-join on the alias (shuffle on the
+    alias key — never a cross join; an alias shared by many records is the
+    skew unit and AQE skew-join splits it), then one winner per incoming id
+    via row_number over (source priority, newest first, id tiebreak).
+
+    Returns (incoming_id, matched_id, matched_source) — incoming records
+    with no overlap are absent (the reference returns nil -> new record
+    path).
+    """
+    inc = incoming.select(
+        F.col(id_col).alias("incoming_id"),
+        F.explode(sanitize_aliases(alias_col)).alias("_alias"),
+    ).dropDuplicates(["incoming_id", "_alias"])
+    ex = existing.select(
+        F.col(id_col).alias("matched_id"),
+        F.col(source_col).alias("matched_source"),
+        F.col(order_col).alias("_ord"),
+        F.explode(sanitize_aliases(alias_col)).alias("_alias"),
+    ).dropDuplicates(["matched_id", "_alias"])
+    j = inc.join(ex, "_alias")
+    w = W.partitionBy("incoming_id").orderBy(
+        source_priority_col("matched_source"),
+        F.desc("_ord"),
+        "matched_id",
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("incoming_id", "matched_id", "matched_source")
+    )
 
 
 def richness_merge(

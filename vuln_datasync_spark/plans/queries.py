@@ -600,8 +600,10 @@ def q1(spark, sf):
                      ORDER BY ts, event_id) > INTERVAL 1 HOUR
                      THEN 1 ELSE 0 END AS brk
          FROM events)
-       SELECT user_id, sum(brk) + 1 AS n_sessions
+       SELECT user_id, CAST(sum(brk) + 1 AS BIGINT) AS n_sessions
        FROM g GROUP BY user_id ORDER BY user_id""",
+    note="explicit BIGINT cast: DuckDB sum() yields HUGEINT -> float64 via "
+    "fetchdf, which the driver's typed value hash distinguishes from int64",
 )
 def w2(spark, sf):
     ev = _t(spark, sf, "events")
@@ -803,8 +805,42 @@ def dd_jaccard(spark, sf):
 @q(
     "dd_simhash_pairs",
     "training-data dedup: SimHash near-dup (vectorized pandas UDF)",
-    None,
-    note="pandas-UDF simhash — rows-only check",
+    r"""WITH toks AS (
+          SELECT doc_id, unnest(list_filter(
+              string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+          FROM documents
+        ), th AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substring(md5(tok), 1, 16)) AS UBIGINT) AS h
+          FROM toks
+        ), bits AS (
+          SELECT doc_id, i,
+                 CASE WHEN sum(CAST((h >> i) & 1 AS HUGEINT)) * 2 >= count(*)
+                      THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS b
+          FROM th, generate_series(0, 63) t(i) GROUP BY doc_id, i
+        ), sig0 AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN i = 63 THEN -b * (CAST(1 AS HUGEINT) << 63)
+                               ELSE b * (CAST(1 AS HUGEINT) << i) END)
+                      AS BIGINT) AS sh
+          FROM bits GROUP BY doc_id
+        ), sig AS (
+          SELECT d.doc_id, coalesce(s.sh, 0) AS sh
+          FROM documents d LEFT JOIN sig0 s USING (doc_id)
+        ), chunks AS (
+          SELECT doc_id, sh, k AS chunk_idx, (sh >> CAST(k * 16 AS INTEGER)) & 65535 AS chunk
+          FROM sig, generate_series(0, 3) t(k)
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        FROM chunks a JOIN chunks b
+          ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+             AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 10
+        ORDER BY id_a, id_b""",
+    note="md5-derived token hashes => the 64-bit simhash is bit-reproducible"
+    " in SQL (bit 63 folded via two's complement); low-16-bit masking makes"
+    " arithmetic vs logical shift irrelevant",
 )
 def dd_simhash(spark, sf):
     from ..operators.dedup import simhash_pairs
@@ -1038,8 +1074,11 @@ def mm_meta(spark, sf):
 @q(
     "mm_extract_features",
     "multimodal: Arrow-batched decode/feature-extract (stubbed decoder)",
-    None,
-    note="mapInPandas feature extraction — rows-only check",
+    """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+              md5(text) AS content_md5
+       FROM documents ORDER BY media_id""",
+    note="oracle checks the mapInPandas plumbing outputs (byte_len/md5 of "
+    "the binary payload); the fake-decode feat vector is engine-internal",
 )
 def mm_features(spark, sf):
     from ..operators.multimodal import as_media_table, extract_features
@@ -1053,7 +1092,15 @@ def mm_features(spark, sf):
 @q(
     "mm_sample_frames",
     "multimodal: frame sampling (1:N mapInPandas)",
-    None,
+    """WITH m AS (SELECT doc_id, text, strlen(text) AS n_bytes
+                  FROM documents WHERE doc_id < 100)
+       SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,
+              md5(substring(text, CAST(i * 256 + 1 AS INTEGER), 256)) AS frame_md5
+       FROM m, generate_series(0, 7) t(i)
+       WHERE i < least(8, greatest(1, n_bytes // 256))
+       ORDER BY media_id, frame_idx""",
+    note="documents.text is ASCII so char substring == byte slice; frames "
+    "are 256-byte chunks, max 8, min 1 (whole payload)",
 )
 def mm_frames(spark, sf):
     from ..operators.multimodal import as_media_table, sample_frames
@@ -1062,6 +1109,454 @@ def mm_frames(spark, sf):
         _t(spark, sf, "documents").filter(F.col("doc_id") < 100), "doc_id", "text"
     )
     return sample_frames(m).orderBy("media_id", "frame_idx")
+
+
+# ----------------------------------------- cross-source merge ops (M3-M5, A8-A9)
+
+
+_PRI_SQL = (
+    "CASE {s} WHEN 'osv' THEN 1 WHEN 'gitlab' THEN 2 WHEN 'cve' THEN 3 "
+    "ELSE 99 END"
+)
+
+
+@q(
+    "mg_priority_merge",
+    "M3+M4 internal/merger/merger.go:17-29,139-204 (priority pick + coalesce)",
+    f"""WITH base AS (
+          SELECT doc_id % 200 AS k,
+                 (['osv','gitlab','cve','ghsa'])[(doc_id % 4) + 1] AS source,
+                 CASE WHEN doc_id % 5 = 0 THEN ''
+                      ELSE substring(text, 1, 50) END AS details,
+                 string_split(substring(text, 1, 40), ' ') AS aliases,
+                 doc_id AS commit_seq
+          FROM documents
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY k ORDER BY
+                     {_PRI_SQL.format(s='source')}, commit_seq DESC) AS rn,
+                 count(*) OVER (PARTITION BY k) AS n_sources
+          FROM base
+        ), p AS (SELECT * FROM ranked WHERE rn = 1),
+        s AS (SELECT * FROM ranked WHERE rn = 2)
+        SELECT p.k AS k,
+               coalesce(nullif(p.details, ''), s.details) AS details,
+               array_to_string(list_sort(list_distinct(list_concat(
+                   p.aliases, coalesce(s.aliases, [])))), ',') AS aliases,
+               array_to_string(list_sort(
+                   CASE WHEN p.n_sources > 1 THEN [p.source, s.source]
+                        ELSE [p.source] END), ',') AS sources,
+               greatest(p.commit_seq, s.commit_seq) AS commit_seq
+        FROM p LEFT JOIN s ON p.k = s.k
+        ORDER BY p.k""",
+    note="(priority, -order) is unique per key (doc_id is unique) so the "
+    "rank-struct tiebreak never fires; arrays compared sorted",
+)
+def mg_priority(spark, sf):
+    from ..operators.merge import priority_merge
+
+    d = _t(spark, sf, "documents")
+    base = d.select(
+        (F.col("doc_id") % 200).alias("k"),
+        F.element_at(
+            F.array(F.lit("osv"), F.lit("gitlab"), F.lit("cve"), F.lit("ghsa")),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ).alias("source"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(""))
+        .otherwise(F.substring("text", 1, 50))
+        .alias("details"),
+        F.split(F.substring("text", 1, 40), " ").alias("aliases"),
+        F.col("doc_id").alias("commit_seq"),
+    )
+    out = priority_merge(base, ["k"], ["details"], ["aliases"])
+    return out.select(
+        "k",
+        "details",
+        F.array_join(F.array_sort("aliases"), ",").alias("aliases"),
+        F.array_join("sources", ",").alias("sources"),
+        "commit_seq",
+    ).orderBy("k")
+
+
+@q(
+    "mg_coalesce_fields",
+    "M4 internal/merger/merger.go:173-185 (selectString first-non-empty)",
+    """SELECT doc_id,
+              coalesce(nullif(CASE WHEN doc_id % 3 = 0 THEN ''
+                                   ELSE substring(text, 1, 10) END, ''),
+                       substring(text, 11, 10)) AS val
+       FROM documents ORDER BY doc_id""",
+)
+def mg_coalesce(spark, sf):
+    from ..operators.merge import coalesce_nonempty
+
+    d = _t(spark, sf, "documents")
+    primary = F.when(F.col("doc_id") % 3 == 0, F.lit("")).otherwise(
+        F.substring("text", 1, 10)
+    )
+    return d.select(
+        "doc_id", coalesce_nonempty(primary, F.substring("text", 11, 10)).alias("val")
+    ).orderBy("doc_id")
+
+
+@q(
+    "mg_richness_merge",
+    "M5 internal/merger/normalizer.go:375-428 (longer text + newest ts wins)",
+    """SELECT doc_id,
+              CASE WHEN length(substring(text, 5, 40)) >
+                        length(substring(text, 1, CAST(doc_id % 60 + 10 AS INTEGER)))
+                   THEN substring(text, 5, 40)
+                   ELSE substring(text, 1, CAST(doc_id % 60 + 10 AS INTEGER)) END
+                  AS details,
+              greatest(doc_id % 97, (doc_id * 7) % 97) AS ts
+       FROM documents ORDER BY doc_id""",
+)
+def mg_richness(spark, sf):
+    from ..operators.merge import richness_merge
+
+    d = _t(spark, sf, "documents")
+    existing = F.col("text").substr(F.lit(1), (F.col("doc_id") % 60 + 10))
+    new = F.substring("text", 5, 40)
+    cols = richness_merge(
+        existing, new, F.col("doc_id") % 97, (F.col("doc_id") * 7) % 97
+    )
+    return d.select("doc_id", *cols).orderBy("doc_id")
+
+
+@q(
+    "mg_map_precedence",
+    "A8 internal/merger/merger.go:278-302 (map merge, primary overrides)",
+    """SELECT doc_id,
+              substring(text, 1, 3) AS va,
+              CASE WHEN doc_id % 2 = 0 THEN substring(text, 5, 3)
+                   ELSE substring(text, 9, 3) END AS vb,
+              substring(text, 13, 3) AS vc
+       FROM documents ORDER BY doc_id""",
+    note="primary {a, b?} vs secondary {b, c}: merged map must take "
+    "primary's b when present, secondary's otherwise",
+)
+def mg_mapprec(spark, sf):
+    from ..operators.merge import map_merge_with_precedence
+
+    d = _t(spark, sf, "documents")
+    p = F.create_map(
+        F.lit("a"),
+        F.substring("text", 1, 3),
+        F.lit("b"),
+        F.when(F.col("doc_id") % 2 == 0, F.substring("text", 5, 3)),
+    )
+    s = F.create_map(
+        F.lit("b"), F.substring("text", 9, 3), F.lit("c"), F.substring("text", 13, 3)
+    )
+    m = map_merge_with_precedence(p, s)
+    return d.select(
+        "doc_id",
+        m["a"].alias("va"),
+        m["b"].alias("vb"),
+        m["c"].alias("vc"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "mg_rawdata_envelope",
+    "A9 internal/merger/merger.go:305-316 (mergeRawData provenance envelope)",
+    """SELECT doc_id,
+              coalesce(array_to_string(list_sort(list_filter([
+                  CASE WHEN doc_id % 3 <> 0
+                       THEN 'primary_source=' || substring(text, 1, 8) END,
+                  CASE WHEN doc_id % 2 = 0
+                       THEN 'secondary_source=' || substring(text, 9, 8) END
+              ], x -> x IS NOT NULL)), '|'), '') AS envelope
+       FROM documents ORDER BY doc_id""",
+    note="absent sides are omitted from the envelope (reference nil check); "
+    "map emitted as sorted k=v join for cross-engine compare",
+)
+def mg_envelope(spark, sf):
+    from ..operators.merge import raw_data_envelope
+
+    d = _t(spark, sf, "documents")
+    env = raw_data_envelope(
+        F.when(F.col("doc_id") % 3 != 0, F.substring("text", 1, 8)),
+        F.when(F.col("doc_id") % 2 == 0, F.substring("text", 9, 8)),
+    )
+    kv = F.transform(
+        F.map_entries(env), lambda e: F.concat(e["key"], F.lit("="), e["value"])
+    )
+    return d.select(
+        "doc_id", F.array_join(F.array_sort(kv), "|").alias("envelope")
+    ).orderBy("doc_id")
+
+
+@q(
+    "j7_alias_overlap_match",
+    "J1 sql/vulnerabilities.sql:7-17 + merger.go:74-121 (alias && overlap, "
+    "priority pick, VULN-id sanitation)",
+    f"""WITH inc AS (
+          SELECT doc_id AS incoming_id,
+                 unnest(['CVE-' || CAST(doc_id AS VARCHAR),
+                         'GHSA-' || CAST(doc_id // 4 AS VARCHAR)]) AS alias
+          FROM documents WHERE doc_id % 2 = 0
+        ), ex AS (
+          SELECT doc_id AS matched_id,
+                 (['osv','gitlab','cve'])[(doc_id % 3) + 1] AS matched_source,
+                 doc_id AS ord,
+                 unnest(['GHSA-' || CAST(doc_id // 4 AS VARCHAR),
+                         'OSV-' || CAST(doc_id AS VARCHAR)]) AS alias
+          FROM documents WHERE doc_id % 2 = 1
+        ), cand AS (
+          SELECT DISTINCT incoming_id, matched_id, matched_source, ord
+          FROM inc JOIN ex USING (alias)
+        ), j AS (
+          SELECT incoming_id, matched_id, matched_source,
+                 row_number() OVER (PARTITION BY incoming_id ORDER BY
+                     {_PRI_SQL.format(s='matched_source')}, ord DESC,
+                     matched_id) AS rn
+          FROM cand)
+        SELECT incoming_id, matched_id, matched_source
+        FROM j WHERE rn = 1 ORDER BY incoming_id""",
+    note="both sides also carry a planted VULN-format alias shared across "
+    "the whole GHSA bucket; the oracle omits it — if the engine failed to "
+    "sanitize, every bucket would cross-match and the values diverge",
+)
+def j7_alias_overlap(spark, sf):
+    from ..operators.merge import alias_overlap_match
+
+    d = _t(spark, sf, "documents")
+    bucket = F.floor(F.col("doc_id") / 4).cast("long")
+    planted = vuln_id(bucket.cast("string"))
+    inc = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("vuln_id"),
+        F.array(
+            F.concat(F.lit("CVE-"), F.col("doc_id").cast("string")),
+            F.concat(F.lit("GHSA-"), bucket.cast("string")),
+            planted,
+        ).alias("aliases"),
+        F.lit("osv").alias("source"),
+        F.col("doc_id").alias("commit_seq"),
+    )
+    ex = d.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("vuln_id"),
+        F.element_at(
+            F.array(F.lit("osv"), F.lit("gitlab"), F.lit("cve")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("source"),
+        F.col("doc_id").alias("commit_seq"),
+        F.array(
+            F.concat(F.lit("GHSA-"), bucket.cast("string")),
+            F.concat(F.lit("OSV-"), F.col("doc_id").cast("string")),
+            planted,
+        ).alias("aliases"),
+    )
+    return alias_overlap_match(inc, ex).orderBy("incoming_id")
+
+
+@q(
+    "s8_yaml_advisory_parse",
+    "S7/S8 internal/fetchers/gitlab/fetcher.go:261-324 + types.go:248-271 "
+    "(YAML parse, required-field skip, FlexibleStringArray, slug-from-path)",
+    """WITH base AS (
+         SELECT doc_id, text,
+                (['gems','npm','pypi','go','maven','cargo'])[(doc_id % 6) + 1]
+                    AS mgr
+         FROM documents WHERE doc_id % 7 <> 0)
+       SELECT 'GHSA-' || CAST(doc_id AS VARCHAR) AS identifier,
+              'T-' || CAST(doc_id AS VARCHAR) AS title,
+              substring(text, 1, 40) AS description,
+              CASE WHEN doc_id % 5 = 0
+                   THEN CASE WHEN mgr IN ('gems','npm','pypi','go','maven')
+                             THEN 'pkg-' || CAST(doc_id AS VARCHAR)
+                             ELSE '' END
+                   ELSE 'npm/pkg-' || CAST(doc_id AS VARCHAR) END
+                  AS package_slug,
+              CASE mgr WHEN 'gems' THEN 'rubygems' WHEN 'npm' THEN 'npm'
+                       WHEN 'pypi' THEN 'pypi' WHEN 'go' THEN 'go'
+                       WHEN 'maven' THEN 'maven' ELSE 'unknown' END
+                  AS ecosystem,
+              CASE WHEN doc_id % 3 = 0 THEN '1.0'
+                   WHEN doc_id % 3 = 1 THEN '1.0,2.0' ELSE '' END AS fixed
+       FROM base ORDER BY identifier""",
+    note="engine synthesizes one YAML advisory per doc (every 7th missing "
+    "title -> skipped; fixed_versions alternates scalar/list/absent; every "
+    "5th missing package_slug -> path fallback) and parses it through the "
+    "mapInPandas YAML source; the oracle computes the expected parse "
+    "directly from documents",
+)
+def s8_yaml(spark, sf):
+    from ..sources.advisories import parse_yaml_advisories
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    esc = F.regexp_replace(F.substring("text", 1, 40), "'", "''")
+    mgr = F.element_at(
+        F.array(
+            *[F.lit(x) for x in ["gems", "npm", "pypi", "go", "maven", "cargo"]]
+        ),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
+    path = F.concat(F.lit("advisories/"), mgr, F.lit("/pkg-"), did, F.lit("/adv.yml"))
+    title_line = F.when(F.col("doc_id") % 7 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("\ntitle: 'T-"), did, F.lit("'"))
+    )
+    fixed_line = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("\nfixed_versions: '1.0'"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("\nfixed_versions: ['1.0', '2.0']"))
+        .otherwise(F.lit(""))
+    )
+    slug_line = F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("\npackage_slug: 'npm/pkg-"), did, F.lit("'"))
+    )
+    yml = F.concat(
+        F.lit("identifier: 'GHSA-"),
+        did,
+        F.lit("'"),
+        title_line,
+        F.lit("\ndescription: '"),
+        esc,
+        F.lit("'"),
+        fixed_line,
+        slug_line,
+    )
+    src = d.select(yml.alias("yaml"), path.alias("path"))
+    parsed = parse_yaml_advisories(src)
+    return parsed.select(
+        "identifier",
+        "title",
+        "description",
+        "package_slug",
+        "ecosystem",
+        F.array_join("fixed_versions", ",").alias("fixed"),
+    ).orderBy("identifier")
+
+
+# ------------------------------------------------ scalar parse ops (F2-F6, P5)
+
+
+@q(
+    "f6_ecosystem_slug",
+    "F6 internal/merger/normalizer.go:313-336 (package slug -> ecosystem)",
+    """SELECT doc_id,
+              CASE (['gem','npm','pip','golang','maven','dotnet','cargo',''])
+                       [(doc_id % 8) + 1]
+                   WHEN 'gem' THEN 'rubygems' WHEN 'npm' THEN 'npm'
+                   WHEN 'pip' THEN 'pypi' WHEN 'golang' THEN 'go'
+                   WHEN 'maven' THEN 'maven' WHEN 'dotnet' THEN 'nuget'
+                   WHEN 'cargo' THEN 'cargo' ELSE '' END AS ecosystem
+       FROM documents ORDER BY doc_id""",
+    note="'cargo' exercises the reference's default-to-segment branch; '' "
+    "exercises the empty-slug passthrough",
+)
+def f6_slug(spark, sf):
+    from ..functions.normalize import ecosystem_from_slug
+
+    d = _t(spark, sf, "documents")
+    seg = F.element_at(
+        F.array(
+            *[
+                F.lit(x)
+                for x in ["gem", "npm", "pip", "golang", "maven", "dotnet", "cargo", ""]
+            ]
+        ),
+        (F.col("doc_id") % 8 + 1).cast("int"),
+    )
+    slug = F.concat(seg, F.lit("/"), F.substring("text", 1, 5))
+    return d.select(
+        "doc_id", ecosystem_from_slug(slug).alias("ecosystem")
+    ).orderBy("doc_id")
+
+
+@q(
+    "f2_timestamp_parse",
+    "F2-F4 internal/merger/normalizer.go:67-78,146-155,245-256 "
+    "(RFC3339 / date-only / CVE-millis, null on parse failure)",
+    """SELECT event_id,
+              CASE WHEN event_id % 10 = 0 THEN NULL
+                   ELSE strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S')
+                   END AS t_rfc,
+              strftime(CAST(CAST(ts AS DATE) AS TIMESTAMP),
+                       '%Y-%m-%d %H:%M:%S') AS t_date,
+              strftime(date_trunc('millisecond', ts),
+                       '%Y-%m-%d %H:%M:%S.%g') AS t_cve
+       FROM events ORDER BY event_id""",
+    note="engine formats ts into the 3 reference string shapes (every 10th "
+    "RFC3339 row corrupted), parses them back via try_to_timestamp, and "
+    "re-emits; the oracle computes the expected round-trip directly",
+)
+def f2_timestamps(spark, sf):
+    from ..functions.timestamps import (
+        CVE_MILLIS_FMT,
+        DATE_ONLY_FMT,
+        RFC3339_FMT,
+        parse_cve_millis,
+        parse_date_only,
+        parse_rfc3339,
+    )
+
+    ev = _t(spark, sf, "events")
+    s_rfc = F.when(F.col("event_id") % 10 == 0, F.lit("not-a-date")).otherwise(
+        F.date_format("ts", RFC3339_FMT)
+    )
+    s_date = F.date_format("ts", DATE_ONLY_FMT)
+    s_cve = F.date_format("ts", CVE_MILLIS_FMT)
+    return ev.select(
+        "event_id",
+        F.date_format(parse_rfc3339(s_rfc), "yyyy-MM-dd HH:mm:ss").alias("t_rfc"),
+        F.date_format(parse_date_only(s_date), "yyyy-MM-dd HH:mm:ss").alias(
+            "t_date"
+        ),
+        F.date_format(parse_cve_millis(s_cve), "yyyy-MM-dd HH:mm:ss.SSS").alias(
+            "t_cve"
+        ),
+    ).orderBy("event_id")
+
+
+@q(
+    "p5_alias_sanitize",
+    "P5 internal/merger/merger.go:108-121 (HOF filter: drop VULN ids)",
+    """SELECT doc_id,
+              'CVE-2024-' || CAST(doc_id AS VARCHAR) || ',GHSA-xxxx' AS clean
+       FROM documents ORDER BY doc_id""",
+    note="input array is [CVE-..., VULN-dddd-XXXX, GHSA-xxxx]; the planted "
+    "VULN id (always structurally valid by construction) must be filtered "
+    "out, order preserved",
+)
+def p5_sanitize(spark, sf):
+    from ..functions.hashing import sanitize_aliases
+
+    d = _t(spark, sf, "documents")
+    aliases = F.array(
+        F.concat(F.lit("CVE-2024-"), F.col("doc_id").cast("string")),
+        vuln_id("text"),
+        F.lit("GHSA-xxxx"),
+    )
+    return d.select(
+        "doc_id", F.array_join(sanitize_aliases(aliases), ",").alias("clean")
+    ).orderBy("doc_id")
+
+
+@q(
+    "p10_published_filter",
+    "S10 internal/fetchers/cve/fetcher.go:354-365 (PUBLISHED-state filter "
+    "at JSON parse time)",
+    """SELECT doc_id FROM documents WHERE doc_id % 4 <> 0 ORDER BY doc_id""",
+    note="engine builds a JSON record per doc (every 4th REJECTED), then "
+    "filters on the parsed state field",
+)
+def p10_published(spark, sf):
+    from ..sources.archive import filter_published
+
+    d = _t(spark, sf, "documents")
+    rec = F.to_json(
+        F.struct(
+            F.when(F.col("doc_id") % 4 == 0, F.lit("REJECTED"))
+            .otherwise(F.lit("PUBLISHED"))
+            .alias("state"),
+            F.col("doc_id").alias("id"),
+        )
+    )
+    return (
+        filter_published(d.withColumn("rec", rec), "rec")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def _wrap(fn: Callable) -> Callable:

@@ -51,6 +51,11 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # the LWW winner semi-join relies on AQE's RUNTIME size measurement
+        # to pick broadcast vs shuffle (lww_resolve broadcast_winners=
+        # 'auto'); 64m comfortably covers a few-million-key winner set
+        # while still forcing giant backfill batches onto the shuffle path
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.compression.codec": "zstd",

@@ -198,7 +198,12 @@ class ManifestTable:
         else:
             df = self.spark.read.schema(schema).parquet(*files)
         if not include_tombstones and "is_deleted" in df.columns:
-            df = df.filter(~F.col("is_deleted")).drop("is_deleted")
+            # coalesce: a null is_deleted (row merged in bypassing
+            # normalize, e.g. direct merge() with a null op) must stay
+            # visible, not vanish from every read
+            df = df.filter(~F.coalesce(F.col("is_deleted"), F.lit(False))).drop(
+                "is_deleted"
+            )
         return df
 
     # ---------- merge ----------
@@ -227,14 +232,48 @@ class ManifestTable:
         if epoch_key in applied:
             return None
 
-        batch = winners.withColumn("is_deleted", F.col("op") == "delete")
+        # null op (possible when merge() is called directly, bypassing
+        # normalize_events' op filter) must NOT become a null is_deleted —
+        # null would make the row invisible to reads forever
+        batch = winners.withColumn(
+            "is_deleted", F.coalesce(F.col("op") == "delete", F.lit(False))
+        )
         batch = batch.withColumn("_bucket", self.bucket_expr())
-        # NOTE: deliberately NOT persisted. The stats job below is fully
-        # column-pruned by Catalyst (key+ord columns only — no content, no
-        # UDF; verified via explain), and its winners-agg shuffle is reused
-        # by the write job, so the full-payload pipeline runs exactly once.
+        # Persist for the duration of the merge: the bucket-stats collect
+        # and the parquet write are SEPARATE actions with separately
+        # compiled plans (Spark exchange reuse is per-plan only), so
+        # without this the whole upstream pipeline — normalize (pandas-UDF
+        # lang sniff included) and both LWW shuffles — would execute twice,
+        # and the affected-bucket list would silently depend on the input
+        # being deterministic across the two executions.
+        batch = batch.persist()
+        try:
+            return self._merge_persisted(
+                batch,
+                parent,
+                parent_m,
+                applied,
+                epoch_key,
+                seq_range,
+                checkpoint_id,
+                batch_id,
+            )
+        finally:
+            batch.unpersist()
 
-        # per-bucket stats in ONE job (also yields affected-bucket list)
+    def _merge_persisted(
+        self,
+        batch,
+        parent,
+        parent_m,
+        applied,
+        epoch_key,
+        seq_range,
+        checkpoint_id,
+        batch_id,
+    ) -> dict | None:
+        # per-bucket stats in ONE job (also yields affected-bucket list);
+        # materializes the persisted batch as a side effect
         bstats = {
             int(r["_bucket"]): r["n"]
             for r in batch.groupBy("_bucket").agg(F.count("*").alias("n")).collect()
@@ -293,6 +332,15 @@ class ManifestTable:
             files.pop(str(b), None)
         files.update(new_files)
 
+        # per-bucket tombstone stats: read back ONLY the files just written
+        # (column-pruned to is_deleted+commit_seq — a few KB per bucket),
+        # carry untouched buckets' stats forward. expire_tombstones selects
+        # buckets from these stats instead of scanning the whole table.
+        bucket_meta = dict(parent_m.get("bucket_meta", {})) if parent_m else {}
+        for b in affected:
+            bucket_meta.pop(str(b), None)
+        bucket_meta.update(self._tombstone_stats(snap_dir))
+
         lineage = {
             "snapshot_id": sid,
             "checkpoint_id": checkpoint_id,
@@ -310,11 +358,43 @@ class ManifestTable:
             "applied_epochs": sorted(applied | {epoch_key}),
             "schema": new_schema.jsonValue(),
             "files": files,
+            "bucket_meta": bucket_meta,
             "lineage": lineage,
         }
         self._commit(manifest, expected_parent=parent)
         self._append_lineage(lineage)
         return lineage
+
+    def _tombstone_stats(self, snap_dir: str) -> dict[str, dict]:
+        """Per-bucket tombstone stats over freshly written snapshot files
+        (partition-discovered ``bucket=`` dirs; scan is column-pruned to
+        the two stat columns)."""
+        if not glob.glob(os.path.join(snap_dir, "bucket=*", "*.parquet")):
+            return {}  # everything purged: no files, no stats
+        df = self.spark.read.parquet(snap_dir)
+        if "is_deleted" not in df.columns or "commit_seq" not in df.columns:
+            return {}
+        rows = (
+            df.groupBy("bucket")
+            .agg(
+                F.sum(
+                    F.coalesce(F.col("is_deleted"), F.lit(False)).cast("int")
+                ).alias("n_tombstones"),
+                F.min(
+                    F.when(F.col("is_deleted"), F.col("commit_seq"))
+                ).alias("min_tomb_seq"),
+            )
+            .collect()
+        )
+        return {
+            str(r["bucket"]): {
+                "n_tombstones": int(r["n_tombstones"] or 0),
+                "min_tomb_seq": None
+                if r["min_tomb_seq"] is None
+                else int(r["min_tomb_seq"]),
+            }
+            for r in rows
+        }
 
     def _commit_noop(self, parent, parent_m, epoch_key, seq_range):
         sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
@@ -339,6 +419,9 @@ class ManifestTable:
             if parent_m
             else T.StructType([]).jsonValue(),
             "files": dict(parent_m["files"]) if parent_m else {},
+            "bucket_meta": dict(parent_m.get("bucket_meta", {}))
+            if parent_m
+            else {},
             "lineage": lineage,
         }
         self._commit(manifest, expected_parent=parent)
@@ -396,19 +479,41 @@ class ManifestTable:
         must stay so late out-of-order updates cannot resurrect deleted
         keys (SURVEY.md §7.3 #5). Rewrites only buckets containing aged
         tombstones; commits a new snapshot.
+
+        Bucket selection comes from the manifest's per-bucket tombstone
+        stats (maintained incrementally at each merge) — NO full-table scan;
+        at 100 TB this touches only manifest JSON plus the rewritten
+        buckets. Buckets from pre-stats manifests (no ``bucket_meta``
+        entry) are scanned as a fallback.
         """
         import pyspark.sql.functions as F  # local alias for clarity
 
         m = self.manifest()
         if m is None:
             return None
-        full = self.read(include_tombstones=True)
-        aged = full.filter(
-            F.col("is_deleted") & (F.col("commit_seq") < below_seq)
-        ).withColumn("_bucket", self.bucket_expr())
-        affected = sorted(
-            r["_bucket"] for r in aged.select("_bucket").distinct().collect()
-        )
+        bucket_meta = m.get("bucket_meta", {})
+        affected: list[int] = []
+        unknown: list[int] = []  # buckets with files but no stats entry
+        for b in m["files"]:
+            meta = bucket_meta.get(b)
+            if meta is None:
+                unknown.append(int(b))
+            elif meta["n_tombstones"] > 0 and (
+                meta["min_tomb_seq"] is not None
+                and meta["min_tomb_seq"] < below_seq
+            ):
+                affected.append(int(b))
+        if unknown:
+            aged = (
+                self.read(include_tombstones=True, buckets=unknown)
+                .filter(F.col("is_deleted") & (F.col("commit_seq") < below_seq))
+                .withColumn("_bucket", self.bucket_expr())
+            )
+            affected += [
+                r["_bucket"]
+                for r in aged.select("_bucket").distinct().collect()
+            ]
+        affected = sorted(set(affected))
         if not affected:
             return None
         kept = (
@@ -438,6 +543,11 @@ class ManifestTable:
         for b in affected:
             files.pop(str(b), None)
         files.update({b: ps for b, ps in new_files.items() if ps})
+        bucket_meta = dict(m.get("bucket_meta", {}))
+        for b in affected:
+            # rewritten: tombstones with seq >= below_seq survive the purge
+            bucket_meta.pop(str(b), None)
+        bucket_meta.update(self._tombstone_stats(snap_dir))
         manifest = {
             "snapshot_id": sid,
             "parent": m["snapshot_id"],
@@ -445,6 +555,7 @@ class ManifestTable:
             "applied_epochs": m["applied_epochs"],
             "schema": m["schema"],
             "files": files,
+            "bucket_meta": bucket_meta,
             "lineage": None,
         }
         self._commit(manifest, expected_parent=m["snapshot_id"])

@@ -78,3 +78,18 @@ def read_zip_json(
         ),
     )
     return parsed.select("archive", "member", "rec.*")
+
+
+def filter_published(df: DataFrame, json_col: str, state_path: str = "$.cveMetadata.state") -> DataFrame:
+    """Parse-time validity filter: keep only records whose JSON state field
+    is PUBLISHED (/root/reference/internal/fetchers/cve/fetcher.go:354-365 —
+    records in any other state are skipped before normalization).
+
+    Accepts either the CVE envelope path ($.cveMetadata.state) or a direct
+    $.state; checks the envelope path first, falling back to $.state.
+    """
+    state = F.coalesce(
+        F.get_json_object(F.col(json_col), state_path),
+        F.get_json_object(F.col(json_col), "$.state"),
+    )
+    return df.filter(state == "PUBLISHED")

@@ -27,24 +27,59 @@ from ..operators.lww import lww_resolve
 from ..sinks.manifest_table import ManifestTable
 
 
+# input size (bytes of source files) above which the ordkey two-phase
+# reduce beats the single-sort window plan: below this, one in-memory sort
+# is cheaper than ordkey's second pass over the events; above it, window
+# mode's full-payload per-key sort (and its skew exposure) loses. Measured
+# locally at 1M/4M events; on a real cluster the crossover is the point
+# where a batch stops fitting one executor's sort buffer.
+AUTO_ORDKEY_MIN_INPUT_BYTES = int(
+    os.environ.get("VDS_AUTO_ORDKEY_MIN_INPUT_BYTES", str(256 * 1024 * 1024))
+)
+
+
+def _resolve_lww_mode(events: DataFrame, mode: str) -> str:
+    """mode='auto': pick window for small batches, ordkey for large ones,
+    from the batch's source-file footprint (driver-side listing — no scan).
+    Unknown-size inputs (no files, e.g. in-memory frames) default to
+    window: micro-batches and test frames are small; large replays come
+    from files."""
+    if mode != "auto":
+        return mode
+    try:
+        files = events.inputFiles()
+        total = 0
+        for f in files:
+            p = f[len("file:") :] if f.startswith("file:") else f
+            try:
+                total += os.path.getsize(p)
+            except OSError:
+                return "ordkey"  # non-posix store: assume big
+        return "ordkey" if total >= AUTO_ORDKEY_MIN_INPUT_BYTES else "window"
+    except Exception:
+        return "window"
+
+
 def apply_batch(
     events: DataFrame,
     table: ManifestTable,
     checkpoint_id: str = "adhoc",
     batch_id: int = 0,
-    lww_mode: str = "ordkey",
+    lww_mode: str = "auto",
     n_salts: int = 16,
-    broadcast_winners: bool = True,
+    broadcast_winners: bool | str = "auto",
 ) -> dict | None:
     """Apply one changelog batch to the table; returns the lineage record.
 
     The source offset range (min/max commit_seq) is captured with
     ``DataFrame.observe`` during the merge's own jobs — no extra scan.
 
-    ``broadcast_winners=False`` switches the ordkey LWW to a shuffle
-    semi-join — required when a single micro-batch's key set is too large
-    to broadcast (driver memory bound).
+    ``lww_mode='auto'`` picks the LWW strategy from the batch's input
+    size (window below ~256 MB of source files, ordkey above);
+    ``broadcast_winners='auto'`` defers the ordkey semi-join's broadcast
+    decision to AQE's runtime size measurement (see lww_resolve).
     """
+    lww_mode = _resolve_lww_mode(events, lww_mode)
     obs = Observation()
     ev = normalize_events(events).observe(
         obs,
@@ -85,8 +120,9 @@ def run_stream(
     checkpoint_dir: str,
     schema,
     max_files_per_trigger: int | None = None,
-    lww_mode: str = "ordkey",
+    lww_mode: str = "auto",
     n_salts: int = 16,
+    broadcast_winners: bool | str = "auto",
     on_batch=None,
     processing_time: str | None = None,
     await_termination: bool = True,
@@ -122,6 +158,7 @@ def run_stream(
             batch_id=batch_id,
             lww_mode=lww_mode,
             n_salts=n_salts,
+            broadcast_winners=broadcast_winners,
         )
         if on_batch is not None:
             on_batch(batch_id, lineage)
