@@ -82,7 +82,7 @@ def ensure_changelog(n_events: int) -> str:
     return log_dir
 
 
-def replay(spark, log_dir: str, lww_mode: str = "maxby", warmup: bool = True) -> dict:
+def replay(spark, log_dir: str, lww_mode: str = "auto", warmup: bool = True) -> dict:
     """Timed full-log replay into a fresh table; returns events, sec, eps.
 
     A small warmup replay first: Python UDF workers, codegen, and file
@@ -117,7 +117,7 @@ def replay(spark, log_dir: str, lww_mode: str = "maxby", warmup: bool = True) ->
     return {"events": n, "sec": round(sec, 3), "events_per_sec": round(n / sec, 1)}
 
 
-def replay_worker(master: str, log_dir: str, lww_mode: str = "ordkey"):
+def replay_worker(master: str, log_dir: str, lww_mode: str = "auto"):
     from vuln_datasync_spark.session import get_spark
 
     spark = get_spark(f"vds-bench-{master}", master=master)
@@ -233,12 +233,21 @@ def main():
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # headline replay runs the ENGINE DEFAULT (auto: window below the input
+    # -size threshold, ordkey above — streaming/pipeline._resolve_lww_mode);
+    # the per-mode lines after it are diagnostics, not alternates
+    from vuln_datasync_spark.streaming.pipeline import _resolve_lww_mode
+
     cdc = {"events": N_EVENTS}
-    r = replay(spark, log_dir, "ordkey")
+    r = replay(spark, log_dir, "auto")
     cdc["events_per_sec"] = r["events_per_sec"]
-    cdc["lww_ordkey_sec"] = r["sec"]
+    cdc["lww_auto_sec"] = r["sec"]
+    cdc["auto_resolved_mode"] = _resolve_lww_mode(
+        spark.read.schema(CHANGELOG_SCHEMA).parquet(log_dir), "auto"
+    )
     timings["cdc_replay"] = r["sec"]
     cdc["lww_window_sec"] = replay(spark, log_dir, "window", warmup=False)["sec"]
+    cdc["lww_ordkey_sec"] = replay(spark, log_dir, "ordkey", warmup=False)["sec"]
     cdc["lww_salted_sec"] = replay(spark, log_dir, "salted", warmup=False)["sec"]
     spark.stop()
 

@@ -98,3 +98,95 @@ def test_embedding_neardup_planted(spark):
         e.unionByName(planted), "embedding", "vec_id", dim=64, threshold=0.95
     ).collect()
     assert any(r["id_a"] == 0 and r["id_b"] == 999000 for r in pairs)
+
+
+def test_hot_bucket_cap_bounds_pairs_keeps_recall(spark):
+    """Planted boilerplate cluster: the cap must bound its pair fanout
+    while a genuine near-dup pair outside the cluster is still found."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    d0 = docs.filter(F.col("doc_id") == 0).select("text").head()["text"]
+    rows = [(100000, d0 + " planted tail")]
+    # 40 identical boilerplate docs -> one hot bucket of 40 in every band
+    rows += [(200000 + i, "boilerplate " * 30) for i in range(40)]
+    extra = spark.createDataFrame(rows, ["doc_id", "text"])
+    all_docs = docs.select("doc_id", "text").unionByName(extra)
+
+    uncapped = minhash_lsh_candidates(all_docs, "text", "doc_id").collect()
+    capped = minhash_lsh_candidates(
+        all_docs, "text", "doc_id", max_bucket_size=10
+    ).collect()
+    boiler = lambda r: r["id_a"] >= 200000 and r["id_b"] >= 200000  # noqa: E731
+    # uncapped: the boilerplate cluster alone contributes C(40,2)=780 pairs
+    assert sum(1 for r in uncapped if boiler(r)) == 780
+    # capped: the hot bucket is dropped entirely...
+    assert sum(1 for r in capped if boiler(r)) == 0
+    # ...but the planted near-dup (small buckets) is still found
+    assert any(r["id_a"] == 0 and r["id_b"] == 100000 for r in capped)
+
+
+def test_jaccard_shingle_df_cap(spark):
+    a = "the quick brown fox jumps over the lazy dog today"
+    rows = [(1, a), (2, a)]
+    # 30 docs sharing ONLY boilerplate shingles with each other
+    rows += [(100 + i, "common boilerplate words here") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = ngram_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.9, max_shingle_df=10
+    ).collect()
+    # boilerplate-only pairs vanish; the exact dup pair survives with
+    # jaccard 1.0 (its shingles have df=2, under the cap)
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in capped] == [(1, 2, 1.0)]
+
+
+def test_simhash_bucket_cap(spark):
+    rows = [(i, "identical boilerplate text") for i in range(25)]
+    rows += [(1000, "genuinely unique content one"), (1001, "genuinely unique content one")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = simhash_pairs(
+        df, "text", "doc_id", max_hamming=3, max_bucket_size=5
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (1000, 1001) in ids
+    assert not any(a < 25 and b < 25 for a, b in ids)
+
+
+def test_ann_index_partition_pruning(spark, tmp_path):
+    """The persisted signature index must (a) return the same top-k as the
+    on-the-fly path and (b) read only the query's band/bucket partitions."""
+    from vuln_datasync_spark.operators.similarity import (
+        ann_index_topk,
+        build_ann_index,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    idx_path = str(tmp_path / "ann_idx")
+    build_ann_index(e, "embedding", "vec_id", 64, idx_path)
+
+    got = ann_index_topk(spark, idx_path, q, k=10)
+    want = ann_lsh_topk(e, "embedding", "vec_id", q, k=10)
+    assert [(r["id"], r["cosine"]) for r in got.collect()] == [
+        (r["vec_id"], r["cosine"]) for r in want.collect()
+    ]
+    # partition pruning: the probe touches a strict subset of index files
+    # (input_file_name over the pruned scan = files actually read;
+    # DataFrame.inputFiles() reports the pre-pruning relation)
+    import glob as _glob
+
+    from vuln_datasync_spark.operators.similarity import query_signature
+
+    total_files = len(_glob.glob(f"{idx_path}/band=*/bucket=*/*.parquet"))
+    qsig = query_signature(q)
+    cond = None
+    for b in range(4):
+        c = (F.col("band") == b) & (F.col("bucket") == ((qsig >> (b * 4)) & 15))
+        cond = c if cond is None else (cond | c)
+    touched = (
+        spark.read.parquet(idx_path)
+        .filter(cond)
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert 0 < touched < total_files, (touched, total_files)
+    assert touched <= 4  # at most one bucket dir per band

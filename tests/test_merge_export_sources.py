@@ -98,3 +98,67 @@ def test_changelog_incremental_read(spark, tmp_path):
     inc = read_changelog_batch(spark, str(tmp_path / "log"), since_seq=500)
     assert full.count() == len(ev)
     assert inc.agg(F.min("commit_seq")).first()[0] == 501
+
+
+def test_alias_overlap_match_priority_and_sanitation(spark):
+    from vuln_datasync_spark.operators.merge import alias_overlap_match
+
+    incoming = spark.createDataFrame(
+        [
+            (10, ["CVE-1", "VULN-1234-ABCD"], "osv", 5),
+            (11, ["GHSA-x"], "osv", 6),
+            (12, ["nothing-shared"], "cve", 7),
+        ],
+        "vuln_id long, aliases array<string>, source string, commit_seq long",
+    )
+    existing = spark.createDataFrame(
+        [
+            (20, ["CVE-1"], "cve", 1),        # matches 10 (only non-VULN alias)
+            (21, ["CVE-1"], "gitlab", 2),     # better priority -> wins for 10
+            (22, ["GHSA-x"], "gitlab", 3),
+            (23, ["GHSA-x"], "gitlab", 9),    # same priority, newer -> wins for 11
+            (24, ["VULN-1234-ABCD"], "osv", 4),  # only a VULN id: must never match
+        ],
+        "vuln_id long, aliases array<string>, source string, commit_seq long",
+    )
+    got = {
+        r["incoming_id"]: (r["matched_id"], r["matched_source"])
+        for r in alias_overlap_match(incoming, existing).collect()
+    }
+    assert got == {10: (21, "gitlab"), 11: (23, "gitlab")}  # 12: no match
+
+
+def test_merge_by_alias_overlap_end_to_end(spark):
+    from vuln_datasync_spark.operators.merge import merge_by_alias_overlap
+
+    incoming = spark.createDataFrame(
+        [(100, ["CVE-9"], "osv", 10, "", ["CVE-9", "EXTRA-1"])],
+        "vuln_id long, aliases array<string>, source string, commit_seq long,"
+        " details string, alias_payload array<string>",
+    ).select("vuln_id", "source", "commit_seq", "details",
+             F.col("alias_payload").alias("aliases"))
+    existing = spark.createDataFrame(
+        [
+            (200, ["CVE-9"], "gitlab", 3, "existing detail text"),
+            (201, ["OTHER"], "cve", 4, "unrelated"),
+        ],
+        "vuln_id long, aliases array<string>, source string, commit_seq long,"
+        " details string",
+    )
+    out = {
+        r["vuln_id"]: r
+        for r in merge_by_alias_overlap(
+            incoming, existing, scalar_cols=["details"], array_cols=["aliases"]
+        ).collect()
+    }
+    # incoming 100 merged INTO existing 200 (alias overlap on CVE-9):
+    # osv is primary but has empty details -> coalesce takes existing's
+    m = out[200]
+    assert m["details"] == "existing detail text"
+    assert sorted(m["aliases"]) == ["CVE-9", "EXTRA-1"]
+    assert m["sources"] == ["gitlab", "osv"]
+    assert m["commit_seq"] == 10
+    # unmatched existing record passes through under its own id
+    assert out[201]["details"] == "unrelated"
+    # no new-record row for 100 (it merged into 200)
+    assert 100 not in out

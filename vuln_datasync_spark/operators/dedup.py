@@ -21,6 +21,7 @@ verification runs only on candidate pairs. Scale notes per operator.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
@@ -29,6 +30,44 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.text import char_shingles
+
+logger = logging.getLogger("vuln_datasync_spark.dedup")
+
+
+def _cap_hot_groups(
+    rows: DataFrame, group_cols: list[str], cap: int, what: str
+) -> DataFrame:
+    """Drop entire groups whose row count exceeds ``cap`` before any
+    pairwise join — the ONE quadratic term in banded dedup is a hot
+    bucket/shingle (boilerplate shared by 10^6 docs makes its band-join
+    quadratic in that frequency). Whole-group drop keeps the result
+    deterministic (no sampling), and the drop volume is logged — never a
+    silent truncation. Cost: one count-agg over the (tiny) group keys +
+    a semi join AQE turns into a broadcast."""
+    sizes = rows.groupBy(*group_cols).agg(F.count("*").alias("_n")).persist()
+    try:
+        dropped = (
+            sizes.filter(F.col("_n") > cap)
+            .agg(
+                F.count("*").alias("groups"),
+                F.coalesce(F.sum("_n"), F.lit(0)).alias("rows"),
+            )
+            .head()
+        )
+        if dropped["groups"]:
+            logger.warning(
+                "%s: dropped %d hot %s groups (%d member rows) over cap %d "
+                "— near-dup pairs inside them are NOT reported",
+                what,
+                dropped["groups"],
+                "/".join(group_cols),
+                dropped["rows"],
+                cap,
+            )
+        ok = sizes.filter(F.col("_n") <= cap).drop("_n")
+        return rows.join(ok, group_cols, "left_semi")
+    finally:
+        sizes.unpersist()
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -69,13 +108,17 @@ def minhash_lsh_candidates(
     k: int = 8,
     bands: int = 4,
     shingle_k: int = 5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
 
     Scale: explode to (band, bucket) rows -> shuffle on the bucket key ->
     within-bucket pairing. Hot buckets (boilerplate text) are the skew
-    risk; cap pair-fanout upstream by filtering degenerate buckets.
+    risk — ``max_bucket_size`` drops whole buckets above the cap BEFORE
+    pairing (bounding the join at cap² per bucket) and logs the dropped
+    volume. At 10^10 docs set it to a few thousand; a bucket that large is
+    boilerplate, not near-duplication worth pairing.
     """
     r = k // bands
     sig = minhash_signature(df, text_col, k, shingle_k).select(
@@ -96,6 +139,10 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    if max_bucket_size is not None:
+        band_rows = _cap_hot_groups(
+            band_rows, ["band", "bucket"], max_bucket_size, "minhash_lsh"
+        )
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     pairs = (
@@ -137,15 +184,27 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_k: int = 5,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """EXACT Jaccard similarity join: explode distinct shingles, equi-join
     on shingle, |A∩B| via count, |A∪B| = |A|+|B|-|A∩B|. One shuffle on the
-    shingle key + one on the pair key — no cross join anywhere."""
+    shingle key + one on the pair key — no cross join anywhere.
+
+    ``max_shingle_df`` caps shingle document frequency: a 5-gram shared by
+    10^6 docs would make the self-join quadratic in that frequency. Capped
+    shingles are removed from the JOIN only — set sizes |A|,|B| still count
+    them, so reported Jaccard becomes a LOWER bound for pairs whose overlap
+    leaned on boilerplate (the right direction for dedup precision); pairs
+    that only share capped shingles are not reported, and the dropped
+    volume is logged.
+    """
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(char_shingles(F.col(text_col), shingle_k)).alias("s"),
     )
     sizes = sh.groupBy("_id").agg(F.count("*").alias("n"))
+    if max_shingle_df is not None:
+        sh = _cap_hot_groups(sh, ["s"], max_shingle_df, "ngram_jaccard")
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -198,11 +257,16 @@ def simhash64_udf(text: pd.Series) -> pd.Series:
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash: band the 64-bit hash into 4x16-bit chunks
     (pigeonhole: hamming<=3 pairs share at least one chunk), join on
-    (chunk_idx, chunk), verify with bit_count(xor)."""
+    (chunk_idx, chunk), verify with bit_count(xor). ``max_bucket_size``
+    bounds hot-chunk fanout exactly like minhash_lsh_candidates."""
     sig = df.select(
         F.col(id_col).alias("_id"), simhash64_udf(F.col(text_col)).alias("sh")
     )
@@ -218,6 +282,10 @@ def simhash_pairs(
             )
         ).alias("chunk_idx", "chunk"),
     )
+    if max_bucket_size is not None:
+        chunks = _cap_hot_groups(
+            chunks, ["chunk_idx", "chunk"], max_bucket_size, "simhash"
+        )
     a = chunks.alias("a")
     b = chunks.alias("b")
     return (

@@ -159,6 +159,47 @@ def alias_overlap_match(
     )
 
 
+def merge_by_alias_overlap(
+    incoming: DataFrame,
+    existing: DataFrame,
+    scalar_cols: list[str],
+    array_cols: list[str] | None = None,
+    id_col: str = "vuln_id",
+    alias_col: str = "aliases",
+    source_col: str = "source",
+    order_col: str = "commit_seq",
+) -> DataFrame:
+    """The reference's full cross-source merge flow, alias-keyed: find the
+    existing record each incoming one overlaps (FindMatchingVulnerability,
+    /root/reference/internal/merger/merger.go:74-105), then merge the
+    matched group field-wise under source priority (MergeVulnerabilities,
+    merger.go:124-170). Incoming records with no overlap keep their own id
+    — the reference's new-record path.
+
+    Both frames need (id_col, source_col, order_col, alias_col,
+    scalar_cols, array_cols). One alias-join + one grouped merge; no
+    driver-side loops, no cross join.
+    """
+    array_cols = array_cols or []
+    m = alias_overlap_match(
+        incoming, existing, id_col, alias_col, source_col, order_col
+    )
+    inc_keyed = (
+        incoming.join(
+            m, incoming[id_col] == m["incoming_id"], "left"
+        )
+        .withColumn("_mk", F.coalesce("matched_id", F.col(id_col)))
+        .drop("incoming_id", "matched_id", "matched_source")
+    )
+    ex_keyed = existing.withColumn("_mk", F.col(id_col))
+    keep = ["_mk", source_col, order_col, *scalar_cols, *array_cols]
+    both = inc_keyed.select(*keep).unionByName(ex_keyed.select(*keep))
+    merged = priority_merge(
+        both, ["_mk"], scalar_cols, array_cols, source_col, order_col
+    )
+    return merged.withColumnRenamed("_mk", id_col)
+
+
 def richness_merge(
     existing_details: Column, new_details: Column, existing_ts: Column, new_ts: Column
 ) -> list[Column]:

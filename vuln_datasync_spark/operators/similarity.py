@@ -61,8 +61,20 @@ def cosine_topk(
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((dim, n_planes))
+    """Deterministic hyperplanes derived from md5, NOT an RNG: entry
+    (i, j) = uniform(-1, 1) from the top 8 bytes of md5('hp:seed:i:j').
+    Uniform (instead of gaussian) components still give unbiased random
+    hyperplane directions for sign-LSH purposes, and the construction is
+    reproducible in ANY engine (the DuckDB oracle recomputes the exact
+    same matrix), so the whole ANN path is value-checkable end-to-end."""
+    import hashlib
+
+    m = np.empty((dim, n_planes), dtype=np.float64)
+    for i in range(dim):
+        for j in range(n_planes):
+            h = hashlib.md5(f"hp:{seed}:{i}:{j}".encode()).hexdigest()
+            m[i, j] = (int(h[:16], 16) / 2.0**64) * 2.0 - 1.0
+    return m
 
 
 def make_signature_udf(dim: int, n_planes: int = 16, seed: int = 42):
@@ -171,6 +183,77 @@ def embedding_neardup_pairs(
         cands.withColumn("cosine", F.round(cosine_sim("va", "vb"), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def query_signature(
+    query_vec: list[float], n_planes: int = 16, seed: int = 42
+) -> int:
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    qbits = (np.asarray(query_vec, dtype=np.float64) @ planes) > 0
+    return int((qbits * (1 << np.arange(n_planes, dtype=np.int64))).sum())
+
+
+def build_ann_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    out_path: str,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> None:
+    """Materialize the LSH signature table, PARTITIONED BY (band, bucket).
+
+    This is the 10^10-vector path: signatures are computed once at ingest
+    (one pass over the vectors), and a query then touches only its own
+    ``band=*/bucket=*`` directories via partition pruning — file I/O ∝
+    candidate count, not table size. Without this, every query recomputes
+    signatures over the full table (the r01 ann_lsh_topk weakness)."""
+    with_sig = hyperplane_signature(df, vec_col, dim, n_planes, seed)
+    rows = with_sig.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.posexplode(F.array(*_band_cols("lsh_sig", n_planes, bands))).alias(
+            "band", "bucket"
+        ),
+    )
+    # one file per (band, bucket) cell at this scale; at 10^10 rows the
+    # same layout just has more files per cell
+    rows.repartition("band", "bucket").write.partitionBy(
+        "band", "bucket"
+    ).mode("overwrite").parquet(out_path)
+
+
+def ann_index_topk(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k against a prebuilt index: read ONLY the query's
+    band/bucket partitions (pushed partition filters -> directory pruning),
+    dedup candidates, exact-rank by cosine."""
+    qsig = query_signature(query_vec, n_planes, seed)
+    r = n_planes // bands
+    mask = (1 << r) - 1
+    cond = None
+    for b in range(bands):
+        c = (F.col("band") == b) & (F.col("bucket") == ((qsig >> (b * r)) & mask))
+        cond = c if cond is None else (cond | c)
+    idx = spark.read.parquet(index_path).filter(cond)
+    cands = idx.select("id", "vec").dropDuplicates(["id"])
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cands.select(
+            F.col("id"), F.round(cosine_sim(F.col("vec"), q), 6).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), "id")
+        .limit(k)
     )
 
 

@@ -885,11 +885,49 @@ def sim_topk(spark, sf):
     return cosine_topk(e, "embedding", "vec_id", _query_vec(spark, sf), k=10)
 
 
+_SIGS_SQL = """planes AS (
+  SELECT i, j,
+         (CAST(concat('0x', substring(md5('hp:42:' || CAST(i AS VARCHAR)
+              || ':' || CAST(j AS VARCHAR)), 1, 16)) AS UBIGINT)
+          / 18446744073709551616.0) * 2 - 1 AS p
+  FROM generate_series(0, 63) t1(i), generate_series(0, 15) t2(j)
+), vexp AS (
+  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, generate_series(1, 64) t(i)
+), dots AS (
+  SELECT vec_id, j, sum(v * p) AS d
+  FROM vexp JOIN planes USING (i) GROUP BY vec_id, j
+), sigs AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN d > 0
+                       THEN (CAST(1 AS HUGEINT) << CAST(j AS INTEGER))
+                       ELSE 0 END) AS BIGINT) AS sig
+  FROM dots GROUP BY vec_id
+)"""
+
+
 @q(
     "sim_ann_lsh_topk",
     "similarity: LSH-bucketed approximate top-k (scale path)",
-    None,
-    note="numpy hyperplane signatures — rows-only check",
+    f"""WITH {_SIGS_SQL},
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        qs AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0),
+        cand AS (
+          SELECT e.vec_id, e.embedding
+          FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id CROSS JOIN qs
+          WHERE ((s.sig >> 0) & 15) = ((qs.qsig >> 0) & 15)
+             OR ((s.sig >> 4) & 15) = ((qs.qsig >> 4) & 15)
+             OR ((s.sig >> 8) & 15) = ((qs.qsig >> 8) & 15)
+             OR ((s.sig >> 12) & 15) = ((qs.qsig >> 12) & 15))
+        SELECT vec_id,
+               round({_DOT_SQL.format(a="embedding", b="qv")}
+                     / (sqrt({_DOT_SQL.format(a="embedding", b="embedding")})
+                        * sqrt({_DOT_SQL.format(a="qv", b="qv")})), 6) + 0.0
+                   AS cosine
+        FROM cand, q ORDER BY cosine DESC, vec_id LIMIT 10""",
+    note="hyperplanes are md5-derived (similarity._hyperplanes) so the "
+    "oracle recomputes the exact signature table in SQL; value-checkable "
+    "despite being an approximate index",
 )
 def sim_ann(spark, sf):
     from ..operators.similarity import ann_lsh_topk
@@ -901,7 +939,24 @@ def sim_ann(spark, sf):
 @q(
     "sim_embedding_neardup",
     "dedup: embedding-cosine near-duplicate pairs (LSH candidates + verify)",
-    None,
+    f"""WITH {_SIGS_SQL},
+        bands AS (
+          SELECT vec_id, b, (sig >> CAST(b * 4 AS INTEGER)) & 15 AS bucket
+          FROM sigs, generate_series(0, 3) t(b)
+        ), cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ), scored AS (
+          SELECT id_a, id_b,
+                 round({_DOT_SQL.format(a="ea.embedding", b="eb.embedding")}
+                       / (sqrt({_DOT_SQL.format(a="ea.embedding", b="ea.embedding")})
+                          * sqrt({_DOT_SQL.format(a="eb.embedding", b="eb.embedding")})),
+                       6) AS cosine
+          FROM cand JOIN embeddings ea ON ea.vec_id = id_a
+                    JOIN embeddings eb ON eb.vec_id = id_b)
+        SELECT id_a, id_b, cosine FROM scored
+        WHERE cosine >= 0.2 ORDER BY id_a, id_b""",
 )
 def sim_neardup(spark, sf):
     from ..operators.similarity import embedding_neardup_pairs
