@@ -150,8 +150,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--buckets", type=int, default=64)
     r.add_argument("--job-id", default="cli")
     r.add_argument("--batch-id", type=int, default=0)
-    r.add_argument("--lww-mode", default="ordkey",
-                   choices=["ordkey", "window", "salted", "maxby"])
+    r.add_argument("--lww-mode", default="auto",
+                   choices=["auto", "ordkey", "window", "salted", "maxby"])
     r.set_defaults(fn=cmd_replay)
 
     s = sub.add_parser("stream", help="tail the changelog (exactly-once)")
@@ -159,8 +159,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--table", required=True)
     s.add_argument("--checkpoint", required=True)
     s.add_argument("--max-files-per-trigger", type=int, default=None)
-    s.add_argument("--lww-mode", default="ordkey",
-                   choices=["ordkey", "window", "salted", "maxby"])
+    s.add_argument("--lww-mode", default="auto",
+                   choices=["auto", "ordkey", "window", "salted", "maxby"])
     s.set_defaults(fn=cmd_stream)
 
     e = sub.add_parser("export", help="snapshot export")

@@ -1482,6 +1482,197 @@ def s8_yaml(spark, sf):
     ).orderBy("identifier")
 
 
+@q(
+    "src_osv_normalize",
+    "P6/S10 internal/merger/normalizer.go:28-78 + osv/fetcher.go:539-541 "
+    "(OSV JSON -> canonical projection)",
+    r"""WITH base AS (
+          SELECT doc_id, substring(text, 1, 120) AS det FROM documents)
+        SELECT 'OSV-' || CAST(doc_id AS VARCHAR) AS vuln_id,
+               CASE WHEN doc_id % 2 = 0 THEN
+                 CASE WHEN length(det) <= 100 THEN det
+                      WHEN length(string_split_regex(det, '\. ')[1] || '.') <= 100
+                           THEN string_split_regex(det, '\. ')[1] || '.'
+                      ELSE substring(det, 1, 97) || '...' END
+               ELSE 'S-' || CAST(doc_id AS VARCHAR) END AS summary,
+               'CVE-' || CAST(doc_id AS VARCHAR) AS aliases,
+               CASE WHEN doc_id % 9 = 0 THEN NULL
+                    ELSE '2024-01-02 03:04:05' END AS published
+        FROM base ORDER BY vuln_id""",
+    note="engine builds an OSV JSON record per doc (empty summary on evens "
+    "-> first-sentence fallback; planted VULN alias sanitized; every 9th "
+    "published unparseable -> null) and runs the normalize projection",
+)
+def src_osv(spark, sf):
+    from ..sources.osv import normalize_osv_records
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    rec = F.to_json(
+        F.struct(
+            F.concat(F.lit("OSV-"), did).alias("id"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(""))
+            .otherwise(F.concat(F.lit("S-"), did))
+            .alias("summary"),
+            F.substring("text", 1, 120).alias("details"),
+            F.array(F.concat(F.lit("CVE-"), did), vuln_id("text")).alias(
+                "aliases"
+            ),
+            F.when(F.col("doc_id") % 9 == 0, F.lit("not-a-date"))
+            .otherwise(F.lit("2024-01-02T03:04:05Z"))
+            .alias("published"),
+        )
+    )
+    out = normalize_osv_records(d.withColumn("rec", rec), "rec")
+    return out.select(
+        "vuln_id",
+        "summary",
+        F.array_join("aliases", ",").alias("aliases"),
+        F.date_format("published_at", "yyyy-MM-dd HH:mm:ss").alias("published"),
+    ).orderBy("vuln_id")
+
+
+@q(
+    "src_cve_normalize",
+    "P8 internal/merger/normalizer.go:189-310 (CVE 5.x -> canonical: en-"
+    "description pref, cvss base score, version split, deterministic id)",
+    """SELECT concat('VULN-',
+                CAST(CAST(concat('0x', substring(sha256('CVE-' ||
+                     CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                     % 9000 + 1000 AS VARCHAR),
+                '-', upper(substring(sha256('CVE-' ||
+                     CAST(doc_id AS VARCHAR)), 5, 4))) AS vuln_id,
+              'CVE-' || CAST(doc_id AS VARCHAR) AS cve_id,
+              CASE WHEN doc_id % 3 = 0 THEN substring(text, 31, 30)
+                   WHEN doc_id % 3 = 1 THEN substring(text, 1, 30)
+                   ELSE NULL END AS details,
+              CASE WHEN doc_id % 4 = 0
+                   THEN printf('%.1f', (doc_id % 90) / 10.0 + 1.0)
+                   ELSE NULL END AS severity,
+              'v/p' || CAST(doc_id AS VARCHAR) AS package_name,
+              '1.' || CAST(doc_id % 5 AS VARCHAR) AS affected,
+              CASE WHEN doc_id % 2 = 0 THEN '2.0,2.0' ELSE '2.0' END AS fixed,
+              '2024-01-02 03:04:05.678' AS published
+       FROM documents ORDER BY cve_id""",
+    note="en-preference: evens carry [es, en] and must pick the en value; "
+    "%3=1 has only de -> first wins; %3=2 empty -> null. fixed shows the "
+    "reference's double-append of unaffected+lessThan rows (sorted join)",
+)
+def src_cve(spark, sf):
+    from ..sources.cve import normalize_cve_records
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    dsc = lambda lang, val: F.struct(  # noqa: E731
+        F.lit(lang).alias("lang"), val.alias("value")
+    )
+    empty_desc = F.array().cast("array<struct<lang:string,value:string>>")
+    descs = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.array(
+                dsc("es", F.substring("text", 1, 30)),
+                dsc("en", F.substring("text", 31, 30)),
+            ),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.array(dsc("de", F.substring("text", 1, 30))))
+        .otherwise(empty_desc)
+    )
+    metric_t = "array<struct<cvssV3_1:struct<baseScore:double>>>"
+    metrics = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.array(
+            F.struct(
+                F.struct(
+                    ((F.col("doc_id") % 90) / 10.0 + 1.0).alias("baseScore")
+                ).alias("cvssV3_1")
+            )
+        ),
+    ).otherwise(F.array().cast(metric_t))
+    ver = lambda v, st, lt: F.struct(  # noqa: E731
+        v.alias("version"), F.lit(st).alias("status"), lt.alias("lessThan")
+    )
+    affected = F.array(
+        F.struct(
+            F.lit("v").alias("vendor"),
+            F.concat(F.lit("p"), did).alias("product"),
+            F.array(
+                ver(
+                    F.concat(F.lit("1."), (F.col("doc_id") % 5).cast("string")),
+                    "affected",
+                    F.lit(""),
+                ),
+                ver(
+                    F.lit("2.0"),
+                    "unaffected",
+                    F.when(F.col("doc_id") % 2 == 0, F.lit("3.0")).otherwise(
+                        F.lit("")
+                    ),
+                ),
+            ).alias("versions"),
+        )
+    )
+    rec = F.to_json(
+        F.struct(
+            F.struct(
+                F.concat(F.lit("CVE-"), did).alias("cveId"),
+                F.lit("PUBLISHED").alias("state"),
+                F.lit("2024-01-02T03:04:05.678Z").alias("datePublished"),
+                F.lit(None).cast("string").alias("dateUpdated"),
+            ).alias("cveMetadata"),
+            F.struct(
+                F.struct(
+                    descs.alias("descriptions"),
+                    metrics.alias("metrics"),
+                    affected.alias("affected"),
+                ).alias("cna")
+            ).alias("containers"),
+        )
+    )
+    out = normalize_cve_records(d.withColumn("rec", rec), "rec")
+    return out.select(
+        "vuln_id",
+        "cve_id",
+        "details",
+        "severity",
+        "package_name",
+        F.array_join("affected_versions", ",").alias("affected"),
+        F.array_join(F.array_sort("fixed_versions"), ",").alias("fixed"),
+        F.date_format("published_at", "yyyy-MM-dd HH:mm:ss.SSS").alias(
+            "published"
+        ),
+    ).orderBy("cve_id")
+
+
+@q(
+    "u4_exists_struct_array",
+    "P1/U3 sql/vulnerabilities.sql:5 exists-over-struct-array (affected[]."
+    "package shape)",
+    r"""SELECT source,
+              count(*) FILTER (WHERE len(list_filter(
+                  list_filter(string_split_regex(substring(text, 1, 200), '\s+'),
+                              x -> x <> ''),
+                  w -> strlen(w) > 8)) > 0) AS with_long_word
+       FROM documents GROUP BY source ORDER BY source""",
+    note="engine wraps each token in a struct {name, n} and probes with "
+    "F.exists over the struct array; oracle checks the equivalent predicate",
+)
+def u4_exists(spark, sf):
+    d = _t(spark, sf, "documents")
+    words = F.filter(
+        F.split(F.substring("text", 1, 200), "\\s+"), lambda w: w != ""
+    )
+    structs = F.transform(
+        words, lambda w: F.struct(w.alias("name"), F.length(w).alias("n"))
+    )
+    has_long = F.exists(structs, lambda s: s["n"] > 8)
+    return (
+        d.groupBy("source")
+        .agg(F.count(F.when(has_long, 1)).alias("with_long_word"))
+        .orderBy("source")
+    )
+
+
 # ------------------------------------------------ scalar parse ops (F2-F6, P5)
 
 

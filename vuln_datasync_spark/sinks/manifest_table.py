@@ -294,20 +294,32 @@ class ManifestTable:
         else:
             new_schema = batch_schema
 
-        target = self.read(include_tombstones=True, buckets=affected)
-        target = _conform(target, new_schema)
         batch = _conform(batch.drop("_bucket"), new_schema)
-
-        # MERGE = LWW over (target ∪ batch): the stored row carries its own
-        # (commit_seq, commit, op) order, so max-by-order implements
-        # WHEN MATCHED AND b.ord > t.ord THEN UPDATE/DELETE, WHEN NOT
-        # MATCHED THEN INSERT, and replays/out-of-order arrivals are no-ops.
-        # window mode: the union has <= 2 rows per key (one stored winner +
-        # one batch winner), so the per-key sort is constant-size — single
-        # pass, no skew exposure, payload never aggregates.
-        merged = lww_resolve(
-            target.unionByName(batch), mode="window", key_cols=self.key_cols
+        stored_files = parent_m and any(
+            parent_m["files"].get(str(b)) for b in affected
         )
+        if not stored_files:
+            # S12 bulk-append fast path (reference analog: batch INSERT,
+            # /root/reference/internal/database/batch.go bulk path): none
+            # of the touched buckets has stored data, so the batch (already
+            # one winner per key) IS the merged state — skip the target
+            # read, the union, and the per-key window entirely. This is
+            # every first load and every backfill into fresh buckets.
+            merged = batch
+        else:
+            target = self.read(include_tombstones=True, buckets=affected)
+            target = _conform(target, new_schema)
+            # MERGE = LWW over (target ∪ batch): the stored row carries its
+            # own (commit_seq, commit, op) order, so max-by-order implements
+            # WHEN MATCHED AND b.ord > t.ord THEN UPDATE/DELETE, WHEN NOT
+            # MATCHED THEN INSERT, and replays/out-of-order arrivals are
+            # no-ops. window mode: the union has <= 2 rows per key (one
+            # stored winner + one batch winner), so the per-key sort is
+            # constant-size — single pass, no skew exposure, payload never
+            # aggregates.
+            merged = lww_resolve(
+                target.unionByName(batch), mode="window", key_cols=self.key_cols
+            )
         merged = merged.withColumn("_bucket", self.bucket_expr())
 
         sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
