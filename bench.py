@@ -233,6 +233,12 @@ def main():
 
     spark = get_spark("vds-bench", master=f"local[{CPUS}]")
     qmap = query_map()
+    # session warmup: JIT/codegen compilation, parquet footer caches, and
+    # Python worker startup are session costs, not per-query throughput —
+    # the first headline query would otherwise absorb all of them
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").write.format(
+        "noop"
+    ).mode("overwrite").save()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.monotonic()

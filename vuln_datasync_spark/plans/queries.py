@@ -967,6 +967,61 @@ def sim_neardup(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+_COS_SQL = (
+    "({dot} / (sqrt({aa}) * sqrt({bb})))".format(
+        dot=_DOT_SQL.format(a="{a}", b="{b}"),
+        aa=_DOT_SQL.format(a="{a}", b="{a}"),
+        bb=_DOT_SQL.format(a="{b}", b="{b}"),
+    )
+)
+
+
+@q(
+    "sim_ivf_topk",
+    "similarity: IVF coarse quantization (assign to nearest of C centroids,"
+    " probe top-p cells, exact-rank inside)",
+    f"""WITH cents AS (
+          SELECT vec_id AS cid, embedding AS cv FROM embeddings
+          WHERE vec_id IN (1, 2, 3, 4)
+        ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        crank AS (
+          SELECT cid, row_number() OVER (ORDER BY
+              {_COS_SQL.format(a="cv", b="qv")} DESC, cid) AS rn
+          FROM cents, q
+        ), probe AS (SELECT cid FROM crank WHERE rn <= 2),
+        scores AS (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     round({_COS_SQL.format(a="e.embedding", b="c.cv")}, 9)
+                     DESC, c.cid) AS rn
+          FROM embeddings e, cents c
+        ), assigned AS (
+          SELECT vec_id, embedding, cid FROM scores WHERE rn = 1)
+        SELECT a.vec_id,
+               round({_COS_SQL.format(a="a.embedding", b="qv")}, 6) + 0.0
+                   AS cosine
+        FROM assigned a JOIN probe USING (cid) CROSS JOIN q
+        ORDER BY cosine DESC, a.vec_id LIMIT 10""",
+    note="centroids = embeddings 1-4 (deterministic); assignment tiebreak "
+    "= first max in centroid order on both sides (round 9dp); probe = top-"
+    "2 cells by query cosine",
+)
+def sim_ivf(spark, sf):
+    from ..operators.similarity import ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id").isin(1, 2, 3, 4))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    out = ivf_topk(
+        e, "embedding", "vec_id", cents, _query_vec(spark, sf), k=10, n_probe=2
+    )
+    return out.select("vec_id", (F.col("cosine") + F.lit(0.0)).alias("cosine"))
+
+
 @q(
     "sim_centroid_by_label",
     "similarity: per-label embedding centroid (posexplode + agg)",
@@ -1164,6 +1219,42 @@ def mm_frames(spark, sf):
         _t(spark, sf, "documents").filter(F.col("doc_id") < 100), "doc_id", "text"
     )
     return sample_frames(m).orderBy("media_id", "frame_idx")
+
+
+@q(
+    "st_windowed_stats",
+    "2.10 watermarked windowed agg (streaming/windows.py; batch form over "
+    "events as the checkable plan)",
+    """SELECT strftime(to_timestamp(floor(epoch(ts) / 600) * 600),
+                       '%Y-%m-%d %H:%M:%S') AS window_start,
+              strftime(to_timestamp(floor(epoch(ts) / 600) * 600 + 600),
+                       '%Y-%m-%d %H:%M:%S') AS window_end,
+              event_type AS op, count(*) AS n_events,
+              sum(strlen(props)) AS bytes
+       FROM events GROUP BY 1, 2, 3
+       ORDER BY window_start, op""",
+    note="tumbling 10-min windows align to the epoch in both engines; "
+    "approx_count_distinct(n_repos) excluded (HLL not cross-engine)",
+)
+def st_windowed(spark, sf):
+    from ..streaming.windows import windowed_change_stats
+
+    ev = _t(spark, sf, "events").select(
+        F.col("event_type").alias("op"),
+        F.col("props").alias("content"),
+        F.col("user_id").cast("string").alias("repo"),
+        "ts",
+    )
+    out = windowed_change_stats(ev, "10 minutes")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+        "op",
+        "n_events",
+        "bytes",
+    ).orderBy("window_start", "op")
 
 
 # ----------------------------------------- cross-source merge ops (M3-M5, A8-A9)

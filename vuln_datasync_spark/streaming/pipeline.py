@@ -27,26 +27,35 @@ from ..operators.lww import lww_resolve
 from ..sinks.manifest_table import ManifestTable
 
 
-# input size (bytes of source files) above which the ordkey two-phase
-# reduce beats the single-sort window plan: below this, one in-memory sort
-# is cheaper than ordkey's second pass over the events; above it, window
-# mode's full-payload per-key sort (and its skew exposure) loses. Measured
-# locally at 1M/4M events; on a real cluster the crossover is the point
-# where a batch stops fitting one executor's sort buffer.
+# ordkey-vs-window crossover (measured at 1M/4M events, 4/8/32 threads):
+# window's single full-payload sort wins while the batch is small or the
+# parallelism is low; once the cluster is wide AND the batch is large,
+# ordkey's compact-key map-side combine wins decisively (4M events at 32
+# threads: ordkey 8.9s vs window 21-67s — wide-and-big is exactly where a
+# full-payload per-key sort contends for memory, while ordkey's shuffle
+# stays ∝ #keys). A real multi-executor cluster is always "wide", so any
+# substantial batch there takes the ordkey path — the 100 TB plan.
 AUTO_ORDKEY_MIN_INPUT_BYTES = int(
-    os.environ.get("VDS_AUTO_ORDKEY_MIN_INPUT_BYTES", str(256 * 1024 * 1024))
+    os.environ.get("VDS_AUTO_ORDKEY_MIN_INPUT_BYTES", str(128 * 1024 * 1024))
+)
+AUTO_ORDKEY_MIN_PARALLELISM = int(
+    os.environ.get("VDS_AUTO_ORDKEY_MIN_PARALLELISM", "16")
 )
 
 
 def _resolve_lww_mode(events: DataFrame, mode: str) -> str:
-    """mode='auto': pick window for small batches, ordkey for large ones,
-    from the batch's source-file footprint (driver-side listing — no scan).
-    Unknown-size inputs (no files, e.g. in-memory frames) default to
-    window: micro-batches and test frames are small; large replays come
-    from files."""
+    """mode='auto': ordkey when the session is wide (>=16 task slots) AND
+    the batch's source-file footprint is large (>=128 MB); window
+    otherwise. Footprint comes from a driver-side file listing — no scan.
+    Unknown-size inputs (no files, e.g. in-memory test frames) default to
+    window; unknown-size on a non-posix store defaults to ordkey (a store
+    we can't stat is a production store — assume big)."""
     if mode != "auto":
         return mode
     try:
+        par = events.sparkSession.sparkContext.defaultParallelism
+        if par < AUTO_ORDKEY_MIN_PARALLELISM:
+            return "window"
         files = events.inputFiles()
         total = 0
         for f in files:
@@ -74,8 +83,9 @@ def apply_batch(
     The source offset range (min/max commit_seq) is captured with
     ``DataFrame.observe`` during the merge's own jobs — no extra scan.
 
-    ``lww_mode='auto'`` picks the LWW strategy from the batch's input
-    size (window below ~256 MB of source files, ordkey above);
+    ``lww_mode='auto'`` picks the LWW strategy from session width and
+    batch input size (ordkey when >=16 task slots AND >=128 MB of source
+    files, window otherwise — see ``_resolve_lww_mode``);
     ``broadcast_winners='auto'`` defers the ordkey semi-join's broadcast
     decision to AQE's runtime size measurement (see lww_resolve).
     """

@@ -1,0 +1,85 @@
+"""Watermarked windowed aggregation over the change stream (SURVEY §2.10).
+
+The reference tracks per-sync processing stats in a table
+(/root/reference/migrations/001_initial_schema.up.sql:75-88) and its
+"vulnerabilities by recency" views bucket by time
+(/root/reference/migrations/001_initial_schema.up.sql:147-159). The
+streaming-native restatement: event-time tumbling windows with a watermark —
+late events inside the lateness bound still update their window; events
+later than the watermark are dropped, and closed windows emit exactly once
+in append mode (bounded state, the only formulation that survives an
+unbounded 10^10-event stream).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_change_stats(
+    stream: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    group_col: str = "op",
+) -> DataFrame:
+    """Per-(window, op) change counts + byte volume over an event-time
+    tumbling window. Works on a streaming OR batch frame (the batch plan is
+    the oracle for the streaming one — same expressions, no watermark).
+
+    State bound: #open windows x #ops — independent of stream length;
+    the watermark lets Spark evict closed windows from the state store.
+    """
+    src = stream
+    if stream.isStreaming:
+        src = stream.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(ts_col, window_duration).alias("w"), F.col(group_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.coalesce(F.length("content"), F.lit(0))).alias("bytes"),
+            F.approx_count_distinct("repo").alias("n_repos"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col(group_col),
+            "n_events",
+            "bytes",
+            "n_repos",
+        )
+    )
+
+
+def run_windowed_stats_stream(
+    spark,
+    changelog_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema,
+    window_duration: str = "10 minutes",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+):
+    """Tail the changelog and append closed windows to a parquet stats sink.
+
+    Append output mode + watermark = each window is written exactly once,
+    AFTER the watermark passes its end — the streaming contract that makes
+    the stats table idempotently consumable downstream.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(changelog_dir)
+    q = (
+        windowed_change_stats(stream, window_duration, watermark)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
