@@ -573,6 +573,58 @@ class ManifestTable:
         self._commit(manifest, expected_parent=m["snapshot_id"])
         return sid
 
+    def rebucket(self, new_n_buckets: int) -> str:
+        """Scale the key-space bucketing (the Iceberg rewrite-partitions
+        analog): rewrite the CURRENT snapshot into ``new_n_buckets`` hash
+        buckets and commit. The answer to "fixed n_buckets has no split
+        story at 100x": when per-bucket data outgrows the target file
+        size, a maintenance window rebuckets — one full rewrite, after
+        which merge work is again ∝ touched buckets at the new
+        granularity. Old snapshots keep reading their own files
+        (time-travel unaffected); only future merges use the new layout.
+        """
+        m = self.manifest()
+        if m is None or new_n_buckets == self.n_buckets:
+            return self.current_snapshot_id()
+        full = self.read(include_tombstones=True)
+        self.n_buckets = new_n_buckets  # bucket_expr picks this up
+        sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        snap_rel = os.path.join("data", f"snap-{sid}")
+        snap_dir = os.path.join(self.root, snap_rel)
+        (
+            full.withColumn("_bucket", self.bucket_expr())
+            .repartition(new_n_buckets, "_bucket")
+            .withColumnRenamed("_bucket", "bucket")
+            .write.partitionBy("bucket")
+            .parquet(snap_dir)
+        )
+        files: dict[str, list[str]] = {}
+        for bdir in glob.glob(os.path.join(snap_dir, "bucket=*")):
+            b = bdir.rsplit("=", 1)[1]
+            files[b] = [
+                os.path.join(snap_rel, os.path.basename(bdir), os.path.basename(p))
+                for p in glob.glob(os.path.join(bdir, "*.parquet"))
+            ]
+        manifest = {
+            "snapshot_id": sid,
+            "parent": m["snapshot_id"],
+            "epoch": f"maintenance:rebucket:{new_n_buckets}:{sid}",
+            "applied_epochs": m["applied_epochs"],
+            "schema": m["schema"],
+            "files": files,
+            "bucket_meta": self._tombstone_stats(snap_dir),
+            "lineage": None,
+        }
+        self._commit(manifest, expected_parent=m["snapshot_id"])
+        # persist the new bucket count for future sessions (atomic swap)
+        tpath = os.path.join(self.root, "_table.json")
+        with open(tpath + ".tmp", "w") as f:
+            json.dump(
+                {"n_buckets": new_n_buckets, "key_cols": list(self.key_cols)}, f
+            )
+        os.replace(tpath + ".tmp", tpath)
+        return sid
+
     def expire_snapshots(self, keep: int = 3):
         """Drop manifests (and data files unreachable from the kept set) —
         Iceberg expire_snapshots analog; reference analog: retention cleanup

@@ -52,3 +52,30 @@ def read_changelog_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(path) if fmt == "parquet" else reader.json(path)
+
+
+def read_changelog_with_fallback(
+    spark: SparkSession,
+    paths: list[str],
+    fmt: str = "parquet",
+    since_seq: int | None = None,
+) -> DataFrame:
+    """S3 fallback chooser: try sources in priority order, degrade
+    gracefully to the next when one is absent/unreadable (reference:
+    GCS -> HTTP fallback, /root/reference/internal/fetchers/osv/
+    fetcher.go:115-133). The first source that both exists and yields a
+    readable frame wins; exhausting the list raises the LAST error, like
+    the reference's final download failure."""
+    last_err: Exception | None = None
+    for p in paths:
+        try:
+            df = read_changelog_batch(spark, p, fmt=fmt, since_seq=since_seq)
+            df.schema  # force source resolution (cheap; no data scan)
+            # a source that resolves but lists no files is "absent"
+            if not df.inputFiles():
+                raise FileNotFoundError(f"no files under {p}")
+            return df
+        except Exception as e:  # noqa: BLE001 - mirror reference degrade
+            last_err = e
+            continue
+    raise last_err if last_err else FileNotFoundError("no sources given")
