@@ -162,3 +162,44 @@ def test_merge_by_alias_overlap_end_to_end(spark):
     assert out[201]["details"] == "unrelated"
     # no new-record row for 100 (it merged into 200)
     assert 100 not in out
+
+
+def test_merge_by_alias_overlap_intra_batch(spark):
+    """Two incoming records sharing an alias with NO existing match must
+    merge into one record (keyed by the best-priority member); if any
+    group member matches existing, the whole group keys to it."""
+    from vuln_datasync_spark.operators.merge import merge_by_alias_overlap
+
+    incoming = spark.createDataFrame(
+        [
+            # group 1: osv + cve share CVE-7, nothing in existing
+            (300, ["CVE-7"], "cve", 1, "cve detail"),
+            (301, ["CVE-7", "GHSA-7"], "osv", 2, ""),
+            # group 2: two records share CVE-8; one also matches existing
+            (310, ["CVE-8"], "cve", 3, "from cve"),
+            (311, ["CVE-8", "OLD-1"], "osv", 4, "from osv"),
+        ],
+        "vuln_id long, aliases array<string>, source string, commit_seq long,"
+        " details string",
+    )
+    existing = spark.createDataFrame(
+        [(400, ["OLD-1"], "gitlab", 1, "stored detail")],
+        "vuln_id long, aliases array<string>, source string, commit_seq long,"
+        " details string",
+    )
+    out = {
+        r["vuln_id"]: r
+        for r in merge_by_alias_overlap(
+            incoming, existing, scalar_cols=["details"], array_cols=["aliases"]
+        ).collect()
+    }
+    # group 1 collapses to ONE record keyed by the osv member (301)
+    assert 300 not in out
+    g1 = out[301]
+    assert g1["details"] == "cve detail"  # osv primary empty -> coalesce
+    assert sorted(g1["sources"]) == ["cve", "osv"]
+    # group 2 merges into the EXISTING record 400 via member 311's alias
+    assert 310 not in out and 311 not in out
+    g2 = out[400]
+    assert g2["details"] == "from osv"  # osv outranks gitlab/cve
+    assert g2["commit_seq"] == 4

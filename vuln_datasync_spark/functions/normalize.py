@@ -112,10 +112,13 @@ def summary_truncate(details: Column | str, max_len: int = 100) -> Column:
     keep it; else prefer the first sentence if it fits; else hard-truncate
     with '...'."""
     d = F.col(details) if isinstance(details, str) else details
-    first_sentence = F.concat(F.split(d, "\\. ")[0], F.lit("."))
+    # the length gate is on the BARE sentence (reference: len(sentences[0])
+    # <= 100, then returns sentences[0]+".") — a 100-char first sentence
+    # yields a 101-char summary, exactly like the reference
+    bare = F.split(d, "\\. ")[0]
     return (
         F.when(F.length(d) <= max_len, d)
-        .when(F.length(first_sentence) <= max_len, first_sentence)
+        .when(F.length(bare) <= max_len, F.concat(bare, F.lit(".")))
         .otherwise(F.concat(F.substring(d, 1, max_len - 3), F.lit("...")))
     )
 

@@ -23,14 +23,25 @@ RFC3339_FMT = "yyyy-MM-dd'T'HH:mm:ssXXX"
 DATE_ONLY_FMT = "yyyy-MM-dd"
 CVE_MILLIS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
 
+# Go's time.Parse(time.RFC3339, ...) accepts an OPTIONAL fractional-second
+# field even though the layout omits it — real OSV records carry values
+# like 2023-11-08T04:13:20.445843Z. Spark's lenient try_to_timestamp parses
+# those (fraction + offset conversion) but also over-accepts shapes Go
+# rejects (bare dates, space separators), so gate it on the RFC3339 shape.
+_RFC3339_RE = (
+    r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d{1,9})?(Z|[+-]\d{2}:\d{2})$"
+)
+
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
 def parse_rfc3339(col: Column | str) -> Column:
-    """F2: RFC3339 with zone offset or Z; null when unparseable."""
-    return F.try_to_timestamp(_c(col), F.lit(RFC3339_FMT))
+    """F2: RFC3339 with optional fractional seconds and Z/offset zone;
+    null when unparseable (the reference's if-err-skip)."""
+    c = _c(col)
+    return F.when(c.rlike(_RFC3339_RE), F.try_to_timestamp(c))
 
 
 def parse_date_only(col: Column | str) -> Column:

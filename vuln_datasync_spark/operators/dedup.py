@@ -42,32 +42,37 @@ def _cap_hot_groups(
     bucket/shingle (boilerplate shared by 10^6 docs makes its band-join
     quadratic in that frequency). Whole-group drop keeps the result
     deterministic (no sampling), and the drop volume is logged — never a
-    silent truncation. Cost: one count-agg over the (tiny) group keys +
-    a semi join AQE turns into a broadcast."""
-    sizes = rows.groupBy(*group_cols).agg(F.count("*").alias("_n")).persist()
-    try:
-        dropped = (
-            sizes.filter(F.col("_n") > cap)
-            .agg(
-                F.count("*").alias("groups"),
-                F.coalesce(F.sum("_n"), F.lit(0)).alias("rows"),
-            )
-            .head()
+    silent truncation.
+
+    Cost shape: the OVER-cap set is tiny by construction (only boilerplate
+    groups exceed a sane cap), so it is computed once (the same action
+    that logs the drop volume), cached, and anti-joined against the rows —
+    AQE broadcasts it. The ok-side group counts (∝ vocabulary, huge for
+    shingles) are never materialized or persisted. Upstream lineage runs
+    once here and once in the caller's action — the price of eager,
+    honest drop accounting."""
+    hot = (
+        rows.groupBy(*group_cols)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > cap)
+        .persist()  # tiny (boilerplate groups only); kept cached for the
+        # caller's action — Spark evicts it LRU after use
+    )
+    dropped = hot.agg(
+        F.count("*").alias("groups"),
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("rows"),
+    ).head()
+    if dropped["groups"]:
+        logger.warning(
+            "%s: dropped %d hot %s groups (%d member rows) over cap %d "
+            "— near-dup pairs inside them are NOT reported",
+            what,
+            dropped["groups"],
+            "/".join(group_cols),
+            dropped["rows"],
+            cap,
         )
-        if dropped["groups"]:
-            logger.warning(
-                "%s: dropped %d hot %s groups (%d member rows) over cap %d "
-                "— near-dup pairs inside them are NOT reported",
-                what,
-                dropped["groups"],
-                "/".join(group_cols),
-                dropped["rows"],
-                cap,
-            )
-        ok = sizes.filter(F.col("_n") <= cap).drop("_n")
-        return rows.join(ok, group_cols, "left_semi")
-    finally:
-        sizes.unpersist()
+    return rows.join(hot.drop("_n"), group_cols, "left_anti")
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:

@@ -177,19 +177,49 @@ def merge_by_alias_overlap(
     — the reference's new-record path.
 
     Both frames need (id_col, source_col, order_col, alias_col,
-    scalar_cols, array_cols). One alias-join + one grouped merge; no
+    scalar_cols, array_cols). Two alias-joins + one grouped merge; no
     driver-side loops, no cross join.
+
+    Intra-batch overlap: the reference processes records sequentially, so
+    two INCOMING records sharing an alias merge via the stored copy of
+    whichever landed first. Set-based restatement: a self alias-match
+    first canonicalizes each incoming record to its best-priority alias
+    mate (one-hop group leader), and the group's best existing match (if
+    any) keys the whole group. Alias CHAINS beyond one hop (A~B~C with no
+    A~C alias) still split — full transitive closure needs an iterative
+    connected-components pass, which the reference only achieves by
+    strictly serial inserts.
     """
     array_cols = array_cols or []
-    m = alias_overlap_match(
+    m_ex = alias_overlap_match(
         incoming, existing, id_col, alias_col, source_col, order_col
     )
-    inc_keyed = (
-        incoming.join(
-            m, incoming[id_col] == m["incoming_id"], "left"
+    m_self = alias_overlap_match(
+        incoming, incoming, id_col, alias_col, source_col, order_col
+    ).select(
+        F.col("incoming_id"), F.col("matched_id").alias("_leader")
+    )
+    inc0 = incoming.join(
+        m_self, incoming[id_col] == m_self["incoming_id"], "left"
+    ).withColumn("_leader", F.coalesce("_leader", F.col(id_col)))
+    # the one-hop group's best existing match keys the whole group
+    grp_ex = (
+        inc0.select(F.col(id_col).alias("incoming_id"), "_leader")
+        .join(m_ex, "incoming_id")
+        .groupBy("_leader")
+        .agg(
+            F.min(
+                F.struct(
+                    source_priority_col("matched_source").alias("_p"),
+                    F.col("matched_id").alias("_id"),
+                )
+            )["_id"].alias("_grp_ex")
         )
-        .withColumn("_mk", F.coalesce("matched_id", F.col(id_col)))
-        .drop("incoming_id", "matched_id", "matched_source")
+    )
+    inc_keyed = (
+        inc0.join(grp_ex, "_leader", "left")
+        .withColumn("_mk", F.coalesce("_grp_ex", "_leader"))
+        .drop("incoming_id", "_leader", "_grp_ex")
     )
     ex_keyed = existing.withColumn("_mk", F.col(id_col))
     keep = ["_mk", source_col, order_col, *scalar_cols, *array_cols]

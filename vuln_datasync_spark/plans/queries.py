@@ -546,7 +546,7 @@ def p9(spark, sf):
     "F5 internal/merger/normalizer.go:339-356",
     """SELECT doc_id,
               CASE WHEN length(text) <= 100 THEN text
-                   WHEN length(string_split_regex(text, '\\. ')[1] || '.') <= 100
+                   WHEN length(string_split_regex(text, '\\. ')[1]) <= 100
                         THEN string_split_regex(text, '\\. ')[1] || '.'
                    ELSE substring(text, 1, 97) || '...' END AS summary
        FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
@@ -1230,7 +1230,7 @@ def mm_frames(spark, sf):
               strftime(to_timestamp(floor(epoch(ts) / 600) * 600 + 600),
                        '%Y-%m-%d %H:%M:%S') AS window_end,
               event_type AS op, count(*) AS n_events,
-              sum(strlen(props)) AS bytes
+              CAST(sum(strlen(props)) AS BIGINT) AS bytes
        FROM events GROUP BY 1, 2, 3
        ORDER BY window_start, op""",
     note="tumbling 10-min windows align to the epoch in both engines; "
@@ -1582,7 +1582,7 @@ def s8_yaml(spark, sf):
         SELECT 'OSV-' || CAST(doc_id AS VARCHAR) AS vuln_id,
                CASE WHEN doc_id % 2 = 0 THEN
                  CASE WHEN length(det) <= 100 THEN det
-                      WHEN length(string_split_regex(det, '\. ')[1] || '.') <= 100
+                      WHEN length(string_split_regex(det, '\. ')[1]) <= 100
                            THEN string_split_regex(det, '\. ')[1] || '.'
                       ELSE substring(det, 1, 97) || '...' END
                ELSE 'S-' || CAST(doc_id AS VARCHAR) END AS summary,

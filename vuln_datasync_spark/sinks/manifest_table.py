@@ -113,6 +113,13 @@ class ManifestTable:
             raise FileNotFoundError(f"no ManifestTable at {root} (use .create)")
         self.n_buckets = meta["n_buckets"]
         self.key_cols = tuple(meta["key_cols"])
+        # the CURRENT manifest is authoritative for the bucket layout:
+        # rebucket commits the new layout atomically with its files, while
+        # _table.json is only a bootstrap (swapped after commit) — a crash
+        # between the two must not leave readers on the old modulus
+        m = self.manifest()
+        if m and m.get("n_buckets"):
+            self.n_buckets = m["n_buckets"]
 
     # ---------- creation / metadata ----------
 
@@ -365,6 +372,7 @@ class ManifestTable:
         }
         manifest = {
             "snapshot_id": sid,
+            "n_buckets": self.n_buckets,
             "parent": parent,
             "epoch": epoch_key,
             "applied_epochs": sorted(applied | {epoch_key}),
@@ -422,6 +430,7 @@ class ManifestTable:
         }
         manifest = {
             "snapshot_id": sid,
+            "n_buckets": self.n_buckets,
             "parent": parent,
             "epoch": epoch_key,
             "applied_epochs": sorted(
@@ -518,7 +527,10 @@ class ManifestTable:
         if unknown:
             aged = (
                 self.read(include_tombstones=True, buckets=unknown)
-                .filter(F.col("is_deleted") & (F.col("commit_seq") < below_seq))
+                .filter(
+                    F.coalesce(F.col("is_deleted"), F.lit(False))
+                    & (F.col("commit_seq") < below_seq)
+                )
                 .withColumn("_bucket", self.bucket_expr())
             )
             affected += [
@@ -531,7 +543,13 @@ class ManifestTable:
         kept = (
             self.read(include_tombstones=True, buckets=affected)
             .filter(
-                ~(F.col("is_deleted") & (F.col("commit_seq") < below_seq))
+                # coalesce: a null is_deleted row is LIVE — the raw
+                # predicate would evaluate to null and filter() would
+                # silently purge it
+                ~(
+                    F.coalesce(F.col("is_deleted"), F.lit(False))
+                    & (F.col("commit_seq") < below_seq)
+                )
             )
             .withColumn("_bucket", self.bucket_expr())
         )
@@ -562,6 +580,7 @@ class ManifestTable:
         bucket_meta.update(self._tombstone_stats(snap_dir))
         manifest = {
             "snapshot_id": sid,
+            "n_buckets": self.n_buckets,
             "parent": m["snapshot_id"],
             "epoch": f"maintenance:expire_tombstones:{sid}",
             "applied_epochs": m["applied_epochs"],
@@ -587,12 +606,18 @@ class ManifestTable:
         if m is None or new_n_buckets == self.n_buckets:
             return self.current_snapshot_id()
         full = self.read(include_tombstones=True)
-        self.n_buckets = new_n_buckets  # bucket_expr picks this up
+        # NOTE: self.n_buckets is mutated only AFTER a successful commit —
+        # if the write or commit throws, this handle must keep operating
+        # on the old (still-current) layout
+        new_bucket = F.pmod(
+            F.xxhash64(*[F.col(c) for c in self.key_cols]),
+            F.lit(new_n_buckets),
+        ).cast("int")
         sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         snap_rel = os.path.join("data", f"snap-{sid}")
         snap_dir = os.path.join(self.root, snap_rel)
         (
-            full.withColumn("_bucket", self.bucket_expr())
+            full.withColumn("_bucket", new_bucket)
             .repartition(new_n_buckets, "_bucket")
             .withColumnRenamed("_bucket", "bucket")
             .write.partitionBy("bucket")
@@ -607,6 +632,7 @@ class ManifestTable:
             ]
         manifest = {
             "snapshot_id": sid,
+            "n_buckets": new_n_buckets,
             "parent": m["snapshot_id"],
             "epoch": f"maintenance:rebucket:{new_n_buckets}:{sid}",
             "applied_epochs": m["applied_epochs"],
@@ -616,7 +642,9 @@ class ManifestTable:
             "lineage": None,
         }
         self._commit(manifest, expected_parent=m["snapshot_id"])
-        # persist the new bucket count for future sessions (atomic swap)
+        self.n_buckets = new_n_buckets
+        # persist the new bucket count for bootstrap too (the committed
+        # manifest above is authoritative; this swap is best-effort)
         tpath = os.path.join(self.root, "_table.json")
         with open(tpath + ".tmp", "w") as f:
             json.dump(

@@ -56,10 +56,14 @@ def _resolve_lww_mode(events: DataFrame, mode: str) -> str:
         par = events.sparkSession.sparkContext.defaultParallelism
         if par < AUTO_ORDKEY_MIN_PARALLELISM:
             return "window"
+        from urllib.parse import unquote, urlparse
+
         files = events.inputFiles()
         total = 0
         for f in files:
-            p = f[len("file:") :] if f.startswith("file:") else f
+            # inputFiles returns URIs (file:/x/y%20z/p.parquet) — decode
+            # before stat or local paths with special chars misroute
+            p = unquote(urlparse(f).path) if "://" in f or f.startswith("file:") else f
             try:
                 total += os.path.getsize(p)
             except OSError:

@@ -34,20 +34,24 @@ def windowed_change_stats(
     src = stream
     if stream.isStreaming:
         src = stream.withWatermark(ts_col, watermark)
+    aggs = [F.count("*").alias("n_events")]
+    out_cols = ["n_events"]
+    if "content" in src.columns:
+        aggs.append(
+            F.sum(F.coalesce(F.length("content"), F.lit(0))).alias("bytes")
+        )
+        out_cols.append("bytes")
+    if "repo" in src.columns:
+        aggs.append(F.approx_count_distinct("repo").alias("n_repos"))
+        out_cols.append("n_repos")
     return (
         src.groupBy(F.window(ts_col, window_duration).alias("w"), F.col(group_col))
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.coalesce(F.length("content"), F.lit(0))).alias("bytes"),
-            F.approx_count_distinct("repo").alias("n_repos"),
-        )
+        .agg(*aggs)
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             F.col(group_col),
-            "n_events",
-            "bytes",
-            "n_repos",
+            *out_cols,
         )
     )
 
