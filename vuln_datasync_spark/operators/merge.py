@@ -17,11 +17,15 @@ per-row Python, one shuffle.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import sanitize_aliases
+
+logger = logging.getLogger("vuln_datasync_spark.merge")
 
 SOURCE_PRIORITY = {"osv": 1, "gitlab": 2, "cve": 3}
 
@@ -57,8 +61,14 @@ def priority_merge(
     """Resolve multi-source records per key: the best-priority record is
     primary, the next supplements missing fields (M3+M4).
 
-    One aggregation: rank rows per key by (priority, -order), keep ranks
-    1-2 via min_by-style structs, then field-wise coalesce.
+    Rank rows per key with ONE window over the full rank struct (priority,
+    -order, payload — the same total order ``sort_array(collect_list(...))``
+    would give), then keep ranks 1-2 via conditional ``min`` aggregates.
+    Aggregation state is O(1) per key regardless of group size — a hot key
+    (e.g. a mass-aliased advisory feeding ``merge_by_alias_overlap``) never
+    buffers its whole group, which ``collect_list`` would. The window's
+    hash partitioning on ``key_cols`` satisfies the following groupBy, so
+    the plan still has exactly one shuffle.
     """
     array_cols = array_cols or []
     pri = source_priority_col(source_col)
@@ -69,10 +79,14 @@ def priority_merge(
             *[F.col(c) for c in scalar_cols + array_cols + [source_col, order_col]]
         ).alias("_r"),
     )
-    agg = df.groupBy(*key_cols).agg(
-        F.min(rank_struct).alias("w1"),
-        # F.get: null (not ANSI error) when the key has a single source
-        F.get(F.sort_array(F.collect_list(rank_struct)), 1).alias("w2"),
+    ranked = df.withColumn("_rs", rank_struct).withColumn(
+        "_rn",
+        F.row_number().over(W.partitionBy(*key_cols).orderBy(F.col("_rs"))),
+    )
+    agg = ranked.groupBy(*key_cols).agg(
+        F.min(F.when(F.col("_rn") == 1, F.col("_rs"))).alias("w1"),
+        # null (not ANSI error) when the key has a single source
+        F.min(F.when(F.col("_rn") == 2, F.col("_rs"))).alias("w2"),
         F.count("*").alias("n_sources"),
     )
     p = F.col("w1._r")
@@ -97,6 +111,85 @@ def priority_merge(
     return agg.select(*out_cols)
 
 
+def fold_merge(
+    df: DataFrame,
+    key_cols: list[str],
+    scalar_cols: list[str],
+    array_cols: list[str] | None = None,
+    source_col: str = "source",
+    order_col: str = "commit_seq",
+) -> DataFrame:
+    """N-ary merge: the batch restatement of the reference's SERIAL fold —
+    each record merges pairwise into the stored one, so over a whole group
+    the net effect is: scalars = the best-ranked non-empty value, arrays =
+    first-occurrence-preserving union across ALL members in rank order,
+    sources = distinct union, order = max (MergeVulnerabilities applied
+    record-by-record, /root/reference/internal/merger/merger.go:124-170).
+    ``priority_merge`` is the 2-source (primary+secondary) analog; this one
+    is for groups of unbounded size (alias-closure components).
+
+    Rank = row_number over the same (priority, -order, payload) total order
+    priority_merge uses. Scalar state is O(1) per key (conditional min of a
+    tiny (rank, value) struct). Array union is computed by exploding
+    elements, taking each element's first (rank, pos) occurrence, and
+    re-assembling in that order — aggregation state is O(#distinct
+    elements) = the size of the OUTPUT array, never O(group rows ×
+    payload). All aggregations share the key partitioning: one shuffle for
+    the window + scalar agg, plus one explode/reassemble pair per array
+    column on the same key."""
+    array_cols = array_cols or []
+    pri = source_priority_col(source_col)
+    rank_struct = F.struct(
+        pri.alias("_p"),
+        (-F.col(order_col)).alias("_no"),
+        F.struct(
+            *[F.col(c) for c in scalar_cols + array_cols + [source_col, order_col]]
+        ).alias("_r"),
+    )
+    ranked = df.withColumn(
+        "_rn",
+        F.row_number().over(W.partitionBy(*key_cols).orderBy(rank_struct)),
+    )
+    scalar_aggs = [
+        F.min(
+            F.when(
+                F.nullif(F.col(c), F.lit("")).isNotNull(),
+                F.struct(F.col("_rn").alias("_k"), F.col(c).alias("_v")),
+            )
+        )["_v"].alias(c)
+        for c in scalar_cols
+    ]
+    out = ranked.groupBy(*key_cols).agg(
+        *scalar_aggs,
+        F.array_sort(F.collect_set(source_col)).alias("sources"),
+        F.max(order_col).alias(order_col),
+    )
+    for c in array_cols:
+        ex = ranked.select(
+            *key_cols,
+            "_rn",
+            F.posexplode(F.coalesce(F.col(c), F.array())).alias("_pos", "_elem"),
+        )
+        first = ex.groupBy(*key_cols, "_elem").agg(
+            F.min(F.struct(F.col("_rn"), F.col("_pos"))).alias("_o")
+        )
+        arr = first.groupBy(*key_cols).agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("_o").alias("_o"), F.col("_elem").alias("_e"))
+                    )
+                ),
+                lambda x: x["_e"],
+            ).alias(c)
+        )
+        out = out.join(arr, key_cols, "left").withColumn(
+            c, F.coalesce(F.col(c), F.array())
+        )
+    order = [*key_cols, *scalar_cols, *array_cols, "sources", order_col]
+    return out.select(*order)
+
+
 def raw_data_envelope(primary: Column, secondary: Column) -> Column:
     """A9: wrap both sources' raw payloads in a provenance envelope map,
     omitting absent sides (mergeRawData,
@@ -112,6 +205,89 @@ def raw_data_envelope(primary: Column, secondary: Column) -> Column:
     )
 
 
+def alias_components(
+    records: DataFrame,
+    id_col: str = "vuln_id",
+    alias_col: str = "aliases",
+    source_col: str = "source",
+    order_col: str = "commit_seq",
+    max_iters: int = 10,
+) -> DataFrame:
+    """Connected components over the alias-overlap graph of ``records``:
+    two records are connected when they share ANY sanitized alias, and
+    connectivity is TRANSITIVE (A~B, B~C ⇒ one component even with no A~C
+    alias). Returns ``(id_col, _leader)`` where ``_leader`` is the id of
+    the component's best record by (source priority, newest order, id) —
+    the same total order every other merge pick uses.
+
+    The reference achieves closure by strictly serial inserts (each record
+    merges into the store before the next is matched,
+    /root/reference/internal/merger/merger.go:74-105 driven one-by-one from
+    /root/reference/internal/jobs/server.go:864-907). Set-based
+    restatement: iterative min-label propagation through the bipartite
+    record–alias graph. Each iteration is two shuffles (groupBy alias, then
+    groupBy record); labels are monotone non-increasing over a finite
+    lattice, so it converges in at most the graph diameter (alias chains in
+    vulnerability data are a few hops — 2-3 iterations in practice), and
+    ``max_iters`` bounds the worst case. Convergence is logged, and label
+    state per iteration is O(#records), never O(pairs)."""
+    label = F.struct(
+        source_priority_col(source_col).alias("_p"),
+        (-F.col(order_col)).alias("_no"),
+        F.col(id_col).alias("_id"),
+    )
+    nodes = records.select(F.col(id_col).alias("_nid"), label.alias("_lbl"))
+    edges = (
+        records.select(
+            F.col(id_col).alias("_nid"),
+            F.explode(sanitize_aliases(alias_col)).alias("_alias"),
+        )
+        .dropDuplicates(["_nid", "_alias"])
+        .persist()
+    )
+    nodes = nodes.persist()
+    iters = 0
+    for iters in range(1, max_iters + 1):
+        alias_min = (
+            edges.join(nodes, "_nid")
+            .groupBy("_alias")
+            .agg(F.min("_lbl").alias("_albl"))
+        )
+        node_min = (
+            edges.join(alias_min, "_alias")
+            .groupBy("_nid")
+            .agg(F.min("_albl").alias("_nlbl"))
+        )
+        # least() skips nulls: records with no (sanitized) aliases keep
+        # their own label
+        new_nodes = (
+            nodes.join(node_min, "_nid", "left")
+            .select("_nid", F.least("_lbl", "_nlbl").alias("_lbl"))
+            .persist()
+        )
+        changed = (
+            new_nodes.alias("n")
+            .join(nodes.alias("o"), "_nid")
+            .filter(F.col("n._lbl") != F.col("o._lbl"))
+            .count()
+        )
+        nodes.unpersist()
+        nodes = new_nodes
+        if changed == 0:
+            break
+    else:
+        logger.warning(
+            "alias_components: label propagation did not converge in %d "
+            "iterations — components deeper than that remain split",
+            max_iters,
+        )
+    logger.info("alias_components: converged after %d iterations", iters)
+    edges.unpersist()
+    return nodes.select(
+        F.col("_nid").alias(id_col), F.col("_lbl._id").alias("_leader")
+    )
+
+
 def alias_overlap_match(
     incoming: DataFrame,
     existing: DataFrame,
@@ -119,6 +295,7 @@ def alias_overlap_match(
     alias_col: str = "aliases",
     source_col: str = "source",
     order_col: str = "commit_seq",
+    with_order: bool = False,
 ) -> DataFrame:
     """J1: the reference's alias-overlap dedup join — for every incoming
     record, find the best existing record sharing ANY alias
@@ -134,7 +311,9 @@ def alias_overlap_match(
 
     Returns (incoming_id, matched_id, matched_source) — incoming records
     with no overlap are absent (the reference returns nil -> new record
-    path).
+    path). ``with_order=True`` appends the matched record's order value as
+    ``matched_ord`` (callers that re-rank matches across a group need it to
+    break priority ties the same way this window does).
     """
     inc = incoming.select(
         F.col(id_col).alias("incoming_id"),
@@ -152,10 +331,13 @@ def alias_overlap_match(
         F.desc("_ord"),
         "matched_id",
     )
+    out_cols = ["incoming_id", "matched_id", "matched_source"]
+    if with_order:
+        out_cols.append(F.col("_ord").alias("matched_ord"))
     return (
         j.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("incoming_id", "matched_id", "matched_source")
+        .select(*out_cols)
     )
 
 
@@ -168,6 +350,7 @@ def merge_by_alias_overlap(
     alias_col: str = "aliases",
     source_col: str = "source",
     order_col: str = "commit_seq",
+    max_closure_iters: int = 10,
 ) -> DataFrame:
     """The reference's full cross-source merge flow, alias-keyed: find the
     existing record each incoming one overlaps (FindMatchingVulnerability,
@@ -181,28 +364,29 @@ def merge_by_alias_overlap(
     driver-side loops, no cross join.
 
     Intra-batch overlap: the reference processes records sequentially, so
-    two INCOMING records sharing an alias merge via the stored copy of
-    whichever landed first. Set-based restatement: a self alias-match
-    first canonicalizes each incoming record to its best-priority alias
-    mate (one-hop group leader), and the group's best existing match (if
-    any) keys the whole group. Alias CHAINS beyond one hop (A~B~C with no
-    A~C alias) still split — full transitive closure needs an iterative
-    connected-components pass, which the reference only achieves by
-    strictly serial inserts.
+    INCOMING records sharing aliases — including CHAINS (A~B, B~C with no
+    A~C alias) — all merge into one stored record. Set-based restatement:
+    ``alias_components`` computes the TRANSITIVE closure of the intra-batch
+    alias graph via iterative label propagation (converges in diameter
+    iterations, bounded by ``max_closure_iters``); each component's leader
+    — its best record by (priority, newest, id) — canonicalizes the group,
+    and the group's best existing match (if any, picked by the same total
+    order) keys the whole component.
     """
     array_cols = array_cols or []
     m_ex = alias_overlap_match(
-        incoming, existing, id_col, alias_col, source_col, order_col
+        incoming, existing, id_col, alias_col, source_col, order_col,
+        with_order=True,
     )
-    m_self = alias_overlap_match(
-        incoming, incoming, id_col, alias_col, source_col, order_col
-    ).select(
-        F.col("incoming_id"), F.col("matched_id").alias("_leader")
-    )
+    m_self = alias_components(
+        incoming, id_col, alias_col, source_col, order_col,
+        max_iters=max_closure_iters,
+    ).withColumnRenamed(id_col, "incoming_id")
     inc0 = incoming.join(
         m_self, incoming[id_col] == m_self["incoming_id"], "left"
     ).withColumn("_leader", F.coalesce("_leader", F.col(id_col)))
-    # the one-hop group's best existing match keys the whole group
+    # the component's best existing match keys the whole group; tiebreak
+    # (priority, newest, id) — identical to alias_overlap_match's window
     grp_ex = (
         inc0.select(F.col(id_col).alias("incoming_id"), "_leader")
         .join(m_ex, "incoming_id")
@@ -211,6 +395,7 @@ def merge_by_alias_overlap(
             F.min(
                 F.struct(
                     source_priority_col("matched_source").alias("_p"),
+                    (-F.col("matched_ord")).alias("_no"),
                     F.col("matched_id").alias("_id"),
                 )
             )["_id"].alias("_grp_ex")
@@ -224,7 +409,7 @@ def merge_by_alias_overlap(
     ex_keyed = existing.withColumn("_mk", F.col(id_col))
     keep = ["_mk", source_col, order_col, *scalar_cols, *array_cols]
     both = inc_keyed.select(*keep).unionByName(ex_keyed.select(*keep))
-    merged = priority_merge(
+    merged = fold_merge(
         both, ["_mk"], scalar_cols, array_cols, source_col, order_col
     )
     return merged.withColumnRenamed("_mk", id_col)
