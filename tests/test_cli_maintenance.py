@@ -163,3 +163,111 @@ def test_changelog_fallback_chooser(spark, tmp_path):
         read_changelog_with_fallback(
             spark, [str(tmp_path / "m1"), str(tmp_path / "m2")]
         )
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, CHANGELOG_SCHEMA)
+
+
+def test_lineage_compact_and_expire(spark, tmp_path):
+    """100-commit small-files problem: compaction bounds the _lineage/ file
+    count; stats queries are unchanged; expiry drops aged rows only."""
+    t = ManifestTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    for i in range(10):
+        rows = [(i * 10 + 1, "insert", f"r{i}", "a.py", f"c{i}", "python",
+                 f"v{i}", None, None)]
+        apply_batch(_batch(spark, rows), t, "c", i)
+    import glob as g
+    ldir = str(tmp_path / "t" / "_lineage")
+    assert len(g.glob(ldir + "/*.parquet")) == 10
+    before = t.read_lineage().orderBy("batch_id").collect()
+
+    # under the threshold: no-op
+    assert t.compact_lineage(max_files=64)["compacted"] == 0
+    rec = t.compact_lineage(max_files=4)
+    assert rec["files_after"] == 1
+    assert len(g.glob(ldir + "/*.parquet")) == 1
+    after = t.read_lineage().orderBy("batch_id").collect()
+    assert [r.asDict() for r in before] == [r.asDict() for r in after]
+
+    # expiry: a future cutoff drops everything; batches_applied contract
+    # survives (rows keyed by checkpoint/batch are simply gone)
+    rec = t.expire_lineage("2020-01-01T00:00:00Z")
+    assert rec["rows_kept"] == 10  # nothing older than 2020
+    rec = t.expire_lineage("2999-01-01T00:00:00Z")
+    assert rec["rows_kept"] == 0
+    assert g.glob(ldir + "/*.parquet") == []
+
+
+def test_rebucket_empty_table_takes_effect(spark, tmp_path):
+    """Pre-scaling an EMPTY table before a backfill must not be a silent
+    no-op (ADVICE r02): the first load must land on the new bucket count."""
+    t = ManifestTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    t.rebucket(16)
+    assert t.n_buckets == 16
+    # a fresh handle bootstraps from _table.json
+    t2 = ManifestTable(spark, str(tmp_path / "t"))
+    assert t2.n_buckets == 16
+    rows = [(1, "insert", "r1", "a.py", "c1", "python", "v1", None, None)]
+    apply_batch(_batch(spark, rows), t2, "c", 0)
+    assert t2.manifest()["n_buckets"] == 16
+
+
+def test_merge_adopts_concurrent_rebucket_layout(spark, tmp_path):
+    """A rebucket committed by ANOTHER handle between batches must not
+    corrupt a live handle's merge (ADVICE r02 medium): the merge adopts
+    the committed layout instead of routing rows with a stale modulus."""
+    root = str(tmp_path / "t")
+    a = ManifestTable.create(spark, root, n_buckets=2)
+    rows0 = [
+        (i, "insert", f"r{i}", "f.py", f"c{i}", "python", f"v{i}", None, None)
+        for i in range(1, 9)
+    ]
+    apply_batch(_batch(spark, rows0), a, "c", 0)
+
+    b = ManifestTable(spark, root)  # second handle (maintenance process)
+    b.rebucket(8)
+    assert b.n_buckets == 8 and a.n_buckets == 2  # a is now stale
+
+    # stale handle merges: an update for an old key + a brand-new key
+    rows1 = [
+        (100, "insert", "r1", "f.py", "c100", "python", "NEW", None, None),
+        (101, "insert", "r9", "f.py", "c101", "python", "v9", None, None),
+    ]
+    apply_batch(_batch(spark, rows1), a, "c", 1)
+    assert a.n_buckets == 8  # adopted the committed layout
+
+    got = {(r["repo"], r["path"]): r["content"] for r in a.read().collect()}
+    assert got[("r1", "f.py")] == "NEW"
+    assert len(got) == 9
+    # every row is in the bucket its key hashes to under the NEW modulus
+    m = a.manifest()
+    assert m["n_buckets"] == 8
+    for bkt, paths in m["files"].items():
+        import os as _os
+        df = spark.read.parquet(
+            *[_os.path.join(root, p) for p in paths]
+        )
+        bad = df.filter(
+            F.pmod(F.xxhash64("repo", "path"), F.lit(8)).cast("int")
+            != int(bkt)
+        ).count()
+        assert bad == 0, f"bucket {bkt} holds misrouted rows"
+
+
+def test_expire_tombstones_adopts_concurrent_rebucket_layout(spark, tmp_path):
+    root = str(tmp_path / "t")
+    a = ManifestTable.create(spark, root, n_buckets=2)
+    rows = [
+        (1, "insert", "r1", "a.py", "c1", "python", "v1", None, None),
+        (2, "delete", "r1", "a.py", "c2", None, None, None, None),
+        (3, "insert", "r2", "b.py", "c3", "python", "v3", None, None),
+    ]
+    apply_batch(_batch(spark, rows), a, "c", 0)
+    ManifestTable(spark, root).rebucket(8)
+    sid = a.expire_tombstones(below_seq=100)
+    assert sid is not None and a.n_buckets == 8
+    assert a.read(include_tombstones=True).filter(
+        F.col("is_deleted")
+    ).count() == 0
+    assert {r["repo"] for r in a.read().collect()} == {"r2"}

@@ -47,3 +47,58 @@ def test_processing_time_tail_and_graceful_stop(spark, tmp_path):
         query.stop()  # graceful stop (reference analog: SIGTERM drain,
         # /root/reference/cmd/vuln-datasync/main.go:101-120)
     assert_state_matches(table, ev)
+
+
+def test_sigterm_graceful_stop_subprocess(tmp_path):
+    """SIGTERM to the CLI `stream` command must drain and exit 0 with a
+    clean checkpoint (reference: signal.Notify + shutdown window,
+    /root/reference/cmd/vuln-datasync/main.go:101-120); a later
+    availableNow run over the same checkpoint resumes without
+    re-applying (exactly-once)."""
+    import signal
+    import subprocess
+    import sys
+
+    ev = generate_changelog_pandas(2000, seed=43)
+    log_dir = tmp_path / "log"
+    write_changelog(ev, str(log_dir), n_files=4)
+    tbl = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "vuln_datasync_spark.cli",
+         "--master", "local[2]",
+         "stream", "--changelog", str(log_dir), "--table", tbl,
+         "--checkpoint", ckpt, "--processing-time", "1 seconds",
+         "--max-files-per-trigger", "1"],
+        cwd="/root/repo",
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    try:
+        # wait for the first commit (the _current pointer appears)
+        deadline = time.time() + 120
+        cur = os.path.join(tbl, "_current")
+        while not os.path.exists(cur) and time.time() < deadline:
+            if proc.poll() is not None:
+                out = proc.stdout.read().decode(errors="replace")
+                raise AssertionError(f"stream died early:\n{out[-3000:]}")
+            time.sleep(0.5)
+        assert os.path.exists(cur), "no commit within deadline"
+
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=90)
+        assert proc.returncode == 0, out.decode(errors="replace")[-3000:]
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    # resume from the same checkpoint in-process: must finish the rest
+    # and land exactly on the oracle state (no double-apply, no gap)
+    from vuln_datasync_spark.session import get_spark
+
+    spark = get_spark("vds-tests", master="local[4]", shuffle_partitions=8)
+    table = run_stream(
+        spark, str(log_dir), tbl, ckpt, CHANGELOG_SCHEMA,
+        max_files_per_trigger=1,
+    )
+    assert_state_matches(table, ev)

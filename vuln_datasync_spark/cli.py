@@ -75,6 +75,10 @@ def cmd_stream(args) -> int:
         changelog_schema(),
         max_files_per_trigger=args.max_files_per_trigger,
         lww_mode=args.lww_mode,
+        processing_time=args.processing_time,
+        # long-lived tails drain on SIGINT/SIGTERM; the availableNow drain
+        # exits on its own and must not clobber the host's handlers
+        graceful_stop=args.processing_time is not None,
     )
     return 0
 
@@ -123,7 +127,13 @@ def cmd_compact(args) -> int:
     if args.expire_tombstones_below is not None:
         table.expire_tombstones(args.expire_tombstones_below)
     table.expire_snapshots(keep=args.keep_snapshots)
-    print(json.dumps({"snapshots": len(table.snapshots())}))
+    out = {"snapshots": len(table.snapshots())}
+    if args.expire_lineage_before:
+        out["lineage_expire"] = table.expire_lineage(args.expire_lineage_before)
+    out["lineage_compact"] = table.compact_lineage(
+        max_files=args.lineage_max_files
+    )
+    print(json.dumps(out))
     return 0
 
 
@@ -159,6 +169,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--table", required=True)
     s.add_argument("--checkpoint", required=True)
     s.add_argument("--max-files-per-trigger", type=int, default=None)
+    s.add_argument("--processing-time", default=None,
+                   help="long-lived tail trigger interval (e.g. '2 seconds');"
+                   " default drains available files once (availableNow)")
     s.add_argument("--lww-mode", default="auto",
                    choices=["auto", "ordkey", "window", "salted", "maxby"])
     s.set_defaults(fn=cmd_stream)
@@ -179,6 +192,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--table", required=True)
     c.add_argument("--keep-snapshots", type=int, default=3)
     c.add_argument("--expire-tombstones-below", type=int, default=None)
+    c.add_argument("--expire-lineage-before", default=None,
+                   help="drop lineage rows committed before this ISO-8601 UTC time")
+    c.add_argument("--lineage-max-files", type=int, default=64,
+                   help="compact _lineage/ when it holds more parquet files than this")
     c.set_defaults(fn=cmd_compact)
 
     g = sub.add_parser("synth", help="generate a synthetic changelog")

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import glob
 import json
+import logging
 import os
 import time
 import uuid
@@ -49,6 +50,8 @@ from pyspark.sql import types as T
 
 from ..functions.normalize import LWW_ORDER_COLS
 from ..operators.lww import lww_resolve
+
+logger = logging.getLogger("vuln_datasync_spark.manifest_table")
 
 KEY_COLS = ("repo", "path")
 META_COLS = ("is_deleted",)
@@ -136,6 +139,23 @@ class ManifestTable:
         with open(os.path.join(root, "_table.json"), "w") as f:
             json.dump({"n_buckets": n_buckets, "key_cols": list(key_cols)}, f)
         return cls(spark, root)
+
+    def _sync_layout(self, m: dict | None) -> None:
+        """Adopt the bucket layout of a freshly read manifest. A rebucket
+        committed by ANOTHER handle (maintenance between stream batches, a
+        second process) changes the modulus; computing bucket_expr or the
+        affected-bucket list with a stale ``self.n_buckets`` would route
+        rows to wrong buckets and pop wrong file keys — silently, because
+        the expected-parent commit check passes (the rebucket committed
+        BEFORE this operation started)."""
+        if m and m.get("n_buckets") and m["n_buckets"] != self.n_buckets:
+            logger.warning(
+                "bucket layout changed under this handle: %d -> %d "
+                "(adopting the committed manifest's layout)",
+                self.n_buckets,
+                m["n_buckets"],
+            )
+            self.n_buckets = m["n_buckets"]
 
     @staticmethod
     def _read_json(path: str):
@@ -234,6 +254,7 @@ class ManifestTable:
         """
         parent = self.current_snapshot_id()
         parent_m = self.manifest(parent) if parent else None
+        self._sync_layout(parent_m)
         epoch_key = f"{checkpoint_id}:{batch_id}"
         applied = set(parent_m["applied_epochs"]) if parent_m else set()
         if epoch_key in applied:
@@ -492,6 +513,79 @@ class ManifestTable:
 
     # ---------- maintenance ----------
 
+    def compact_lineage(self, max_files: int = 64) -> dict:
+        """Compact ``_lineage/`` small files: every commit appends one tiny
+        parquet, so at streaming cadence the directory accrues unbounded
+        file count (the classic small-files problem). When the directory
+        holds more than ``max_files`` parquet files, rewrite them into ONE
+        ``compacted-*.parquet`` (reference analog: periodic job-stats
+        cleanup, /root/reference/internal/jobs/server.go:690-727 +
+        /root/reference/sql/jobs.sql:38-41).
+
+        Crash-safe ordering: the compacted file is written to a temp name
+        and moved in BEFORE the inputs are removed — a crash in between
+        duplicates rows only until the next compaction, and lineage
+        consumers (stats, resume checks) key on (checkpoint_id, batch_id),
+        for which duplicates are idempotent.
+        """
+        import pandas as pd
+
+        ldir = os.path.join(self.root, "_lineage")
+        files = sorted(glob.glob(os.path.join(ldir, "*.parquet")))
+        if len(files) <= max_files:
+            return {"compacted": 0, "files_before": len(files),
+                    "files_after": len(files)}
+        merged = pd.concat([pd.read_parquet(f) for f in files],
+                           ignore_index=True)
+        merged = merged.drop_duplicates(
+            subset=["snapshot_id", "checkpoint_id", "batch_id", "bucket"]
+        ).sort_values(["snapshot_id", "bucket"])
+        out = os.path.join(
+            ldir, f"compacted-{int(time.time() * 1000):013d}.parquet"
+        )
+        merged.to_parquet(out + ".tmp", index=False)
+        os.replace(out + ".tmp", out)
+        for f in files:
+            os.remove(f)
+        logger.info(
+            "compact_lineage: %d files -> 1 (%d rows)", len(files), len(merged)
+        )
+        return {"compacted": len(files), "files_before": len(files),
+                "files_after": 1, "rows": int(len(merged))}
+
+    def expire_lineage(self, older_than: str) -> dict:
+        """Drop lineage rows with ``committed_at`` before ``older_than``
+        (ISO-8601 UTC, e.g. '2026-01-01T00:00:00Z') — the reference's
+        retention delete for processing stats (/root/reference/sql/
+        jobs.sql:38-41, interval-based cleanup driven by
+        /root/reference/internal/jobs/server.go:690-727). Rewrites only
+        files whose min committed_at falls before the cutoff; wholly-aged
+        files are removed without a rewrite."""
+        import pandas as pd
+
+        ldir = os.path.join(self.root, "_lineage")
+        removed = rewritten = kept_rows = 0
+        for f in sorted(glob.glob(os.path.join(ldir, "*.parquet"))):
+            df = pd.read_parquet(f)
+            keep = df[df["committed_at"] >= older_than]
+            if len(keep) == len(df):
+                kept_rows += len(df)
+                continue
+            if keep.empty:
+                os.remove(f)
+                removed += 1
+            else:
+                keep.to_parquet(f + ".tmp", index=False)
+                os.replace(f + ".tmp", f)
+                rewritten += 1
+                kept_rows += len(keep)
+        logger.info(
+            "expire_lineage(<%s): removed %d files, rewrote %d",
+            older_than, removed, rewritten,
+        )
+        return {"files_removed": removed, "files_rewritten": rewritten,
+                "rows_kept": kept_rows}
+
     def expire_tombstones(self, below_seq: int):
         """Physically drop delete tombstones with commit_seq < below_seq.
 
@@ -512,6 +606,7 @@ class ManifestTable:
         m = self.manifest()
         if m is None:
             return None
+        self._sync_layout(m)
         bucket_meta = m.get("bucket_meta", {})
         affected: list[int] = []
         unknown: list[int] = []  # buckets with files but no stats entry
@@ -603,7 +698,21 @@ class ManifestTable:
         (time-travel unaffected); only future merges use the new layout.
         """
         m = self.manifest()
-        if m is None or new_n_buckets == self.n_buckets:
+        self._sync_layout(m)
+        if new_n_buckets == self.n_buckets:
+            return self.current_snapshot_id()
+        if m is None:
+            # no committed snapshot yet: pre-scaling an empty table before
+            # a large backfill must still take effect — adopt the layout in
+            # _table.json so the first load lands on the new bucket count
+            self.n_buckets = new_n_buckets
+            tpath = os.path.join(self.root, "_table.json")
+            with open(tpath + ".tmp", "w") as f:
+                json.dump(
+                    {"n_buckets": new_n_buckets, "key_cols": list(self.key_cols)},
+                    f,
+                )
+            os.replace(tpath + ".tmp", tpath)
             return self.current_snapshot_id()
         full = self.read(include_tombstones=True)
         # NOTE: self.n_buckets is mutated only AFTER a successful commit —

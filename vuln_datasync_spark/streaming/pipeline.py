@@ -127,6 +127,37 @@ def checkpoint_identity(checkpoint_dir: str) -> str:
     return hashlib.sha256(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:16]
 
 
+def install_graceful_stop(query) -> dict:
+    """SIGINT/SIGTERM → ``query.stop()`` so a long-lived tail drains the
+    in-flight micro-batch and exits with a clean checkpoint instead of a
+    killed JVM (reference analog: signal.Notify + 30s shutdown window,
+    /root/reference/cmd/vuln-datasync/main.go:101-120). The stop runs on a
+    daemon thread — py4j calls must not run inside the signal frame.
+    Returns a dict whose 'signal' key records the delivered signal (None if
+    the stream ended on its own). The sink's epoch tagging makes a batch
+    interrupted mid-merge safe: it either committed (replay skipped on
+    resume) or it didn't (re-run on resume)."""
+    import signal
+    import threading
+
+    state: dict = {"signal": None}
+
+    def _handler(signum, _frame):
+        state["signal"] = signum
+
+        def _stop():
+            try:
+                query.stop()
+            except Exception:  # stream already gone — exit path anyway
+                pass
+
+        threading.Thread(target=_stop, daemon=True).start()
+
+    for s in (signal.SIGINT, signal.SIGTERM):
+        signal.signal(s, _handler)
+    return state
+
+
 def run_stream(
     spark: SparkSession,
     changelog_dir: str,
@@ -140,6 +171,7 @@ def run_stream(
     on_batch=None,
     processing_time: str | None = None,
     await_termination: bool = True,
+    graceful_stop: bool = False,
 ):
     """Tail a changelog directory (file source stands in for the Iceberg/
     Kafka changelog; offsets live in the Structured Streaming checkpoint)
@@ -189,5 +221,7 @@ def run_stream(
     query = writer.start()
     if not await_termination:
         return table, query
+    if graceful_stop:
+        install_graceful_stop(query)
     query.awaitTermination()
     return table
