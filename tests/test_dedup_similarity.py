@@ -190,3 +190,24 @@ def test_ann_index_partition_pruning(spark, tmp_path):
     )
     assert 0 < touched < total_files, (touched, total_files)
     assert touched <= 4  # at most one bucket dir per band
+
+
+def test_default_caps_fire_without_opt_in(spark):
+    """Bounded is now the DEFAULT (VERDICT r02): a boilerplate family over
+    the default cap is dropped with no explicit max_bucket_size, while
+    small groups still pair."""
+    from vuln_datasync_spark.operators.dedup import minhash_lsh_candidates
+
+    boiler = spark.range(2100).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate text repeated everywhere").alias("text"),
+    )
+    pair = spark.createDataFrame(
+        [(990001, "a genuinely unique document body"),
+         (990002, "a genuinely unique document body")],
+        "doc_id long, text string",
+    )
+    got = minhash_lsh_candidates(
+        boiler.unionByName(pair), "text", "doc_id"
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(990001, 990002)}

@@ -45,34 +45,38 @@ def _cap_hot_groups(
     silent truncation.
 
     Cost shape: the OVER-cap set is tiny by construction (only boilerplate
-    groups exceed a sane cap), so it is computed once (the same action
-    that logs the drop volume), cached, and anti-joined against the rows —
-    AQE broadcasts it. The ok-side group counts (∝ vocabulary, huge for
-    shingles) are never materialized or persisted. Upstream lineage runs
-    once here and once in the caller's action — the price of eager,
-    honest drop accounting."""
-    hot = (
+    groups exceed a sane cap), so it is collected to the driver in ONE
+    action (the same one that logs the drop volume) and anti-joined back as
+    a broadcast LITERAL frame — no cached DataFrame lingers in the session
+    (repeated per-micro-batch calls used to accumulate persisted frames),
+    and when nothing exceeds the cap (the common case) the input is
+    returned untouched with NO extra join in the plan. The ok-side group
+    counts (∝ vocabulary, huge for shingles) are never materialized.
+    Upstream lineage runs once here and once in the caller's action — the
+    price of eager, honest drop accounting."""
+    hot_rows = (
         rows.groupBy(*group_cols)
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") > cap)
-        .persist()  # tiny (boilerplate groups only); kept cached for the
-        # caller's action — Spark evicts it LRU after use
+        .collect()
     )
-    dropped = hot.agg(
-        F.count("*").alias("groups"),
-        F.coalesce(F.sum("_n"), F.lit(0)).alias("rows"),
-    ).head()
-    if dropped["groups"]:
-        logger.warning(
-            "%s: dropped %d hot %s groups (%d member rows) over cap %d "
-            "— near-dup pairs inside them are NOT reported",
-            what,
-            dropped["groups"],
-            "/".join(group_cols),
-            dropped["rows"],
-            cap,
-        )
-    return rows.join(hot.drop("_n"), group_cols, "left_anti")
+    if not hot_rows:
+        return rows
+    logger.warning(
+        "%s: dropping %d hot %s groups (%d member rows) over cap %d "
+        "— near-dup pairs inside them are NOT reported",
+        what,
+        len(hot_rows),
+        "/".join(group_cols),
+        sum(r["_n"] for r in hot_rows),
+        cap,
+    )
+    spark = rows.sparkSession
+    hot_df = spark.createDataFrame(
+        [[r[c] for c in group_cols] for r in hot_rows],
+        rows.select(*group_cols).schema,
+    )
+    return rows.join(F.broadcast(hot_df), group_cols, "left_anti")
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
@@ -113,7 +117,7 @@ def minhash_lsh_candidates(
     k: int = 8,
     bands: int = 4,
     shingle_k: int = 5,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
@@ -122,8 +126,9 @@ def minhash_lsh_candidates(
     within-bucket pairing. Hot buckets (boilerplate text) are the skew
     risk — ``max_bucket_size`` drops whole buckets above the cap BEFORE
     pairing (bounding the join at cap² per bucket) and logs the dropped
-    volume. At 10^10 docs set it to a few thousand; a bucket that large is
-    boilerplate, not near-duplication worth pairing.
+    volume. Bounded is the DEFAULT (a bucket of thousands is boilerplate,
+    not near-duplication worth pairing); pass ``None`` to explicitly opt
+    out of the cap.
     """
     r = k // bands
     sig = minhash_signature(df, text_col, k, shingle_k).select(
@@ -189,7 +194,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_k: int = 5,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 2000,
 ) -> DataFrame:
     """EXACT Jaccard similarity join: explode distinct shingles, equi-join
     on shingle, |A∩B| via count, |A∪B| = |A|+|B|-|A∩B|. One shuffle on the
@@ -201,7 +206,7 @@ def ngram_jaccard_pairs(
     them, so reported Jaccard becomes a LOWER bound for pairs whose overlap
     leaned on boilerplate (the right direction for dedup precision); pairs
     that only share capped shingles are not reported, and the dropped
-    volume is logged.
+    volume is logged. Bounded is the DEFAULT; pass ``None`` to opt out.
     """
     sh = df.select(
         F.col(id_col).alias("_id"),
@@ -266,12 +271,13 @@ def simhash_pairs(
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """Near-dup pairs by simhash: band the 64-bit hash into 4x16-bit chunks
     (pigeonhole: hamming<=3 pairs share at least one chunk), join on
     (chunk_idx, chunk), verify with bit_count(xor). ``max_bucket_size``
-    bounds hot-chunk fanout exactly like minhash_lsh_candidates."""
+    bounds hot-chunk fanout exactly like minhash_lsh_candidates (bounded
+    by default; ``None`` opts out)."""
     sig = df.select(
         F.col(id_col).alias("_id"), simhash64_udf(F.col(text_col)).alias("sh")
     )

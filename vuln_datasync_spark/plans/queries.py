@@ -1896,6 +1896,126 @@ def p10_published(spark, sf):
     )
 
 
+@q(
+    "dd_minhash_capped",
+    "hot-bucket cap semantics under the (now default) bounded mode: a "
+    "planted clone family over the cap is dropped wholesale; a small "
+    "clone pair survives (operators/dedup.py _cap_hot_groups)",
+    f"""WITH fix AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 100
+          UNION ALL
+          SELECT 900000 + i,
+                 (SELECT text FROM documents WHERE doc_id = 0)
+          FROM range(12) t(i)
+          UNION ALL
+          SELECT 910000 + i,
+                 (SELECT text FROM documents WHERE doc_id = 1)
+          FROM range(2) t(i)
+        ), sh AS (
+          SELECT doc_id, {_SHINGLE_SQL} AS s FROM fix
+        ), sig AS (
+          SELECT doc_id,
+                 [{", ".join(f"list_min(list_transform(s, x -> md5(x || ':{i}')))" for i in range(8))}] AS mh
+          FROM sh
+        ), bands AS (
+          SELECT doc_id, b.band,
+                 md5(mh[b.band*2+1] || '|' || mh[b.band*2+2]) AS bucket
+          FROM sig, (SELECT unnest([0,1,2,3]) AS band) b
+        ), ok AS (
+          SELECT band, bucket FROM bands
+          GROUP BY band, bucket HAVING count(*) <= 8
+        ), bands_ok AS (
+          SELECT bands.* FROM bands JOIN ok USING (band, bucket)
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands_ok a JOIN bands_ok b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(len(list_filter(list_transform(generate_series(1, 8),
+                     i -> sa.mh[i] = sb.mh[i]), x -> x)) / 8.0, 4) AS est_jaccard
+        FROM pairs JOIN sig sa ON sa.doc_id = id_a
+                   JOIN sig sb ON sb.doc_id = id_b
+        ORDER BY id_a, id_b""",
+    note="13 clones of doc 0 (incl. itself) overflow every band bucket at "
+    "cap 8 -> the family reports NO pairs; doc 1 + its 2 clones stay under "
+    "the cap -> their pairs survive. The oracle replicates the whole-group "
+    "drop, so a silent or sampled truncation would hash-mismatch",
+)
+def dd_minhash_capped(spark, sf):
+    from ..operators.dedup import minhash_lsh_candidates
+
+    d = _t(spark, sf, "documents")
+    base = d.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    t0 = d.filter(F.col("doc_id") == 0).select("text")
+    t1 = d.filter(F.col("doc_id") == 1).select("text")
+    clones0 = t0.crossJoin(spark.range(12)).select(
+        (F.lit(900000) + F.col("id")).alias("doc_id"), "text"
+    )
+    clones1 = t1.crossJoin(spark.range(2)).select(
+        (F.lit(910000) + F.col("id")).alias("doc_id"), "text"
+    )
+    fix = base.unionByName(clones0).unionByName(clones1)
+    return minhash_lsh_candidates(
+        fix, "text", "doc_id", k=8, bands=4, max_bucket_size=8
+    ).orderBy("id_a", "id_b")
+
+
+@q(
+    "dd_ngram_capped",
+    "shingle-df cap semantics under the (now default) bounded mode: "
+    "boilerplate shingles leave the join but still count toward set sizes "
+    "(lower-bound Jaccard)",
+    f"""WITH fix AS (
+          SELECT doc_id, text || ' THEQUICKBROWNFOXJUMPS' AS text
+          FROM documents WHERE doc_id < 80
+          UNION ALL
+          SELECT 950000 + i,
+                 (SELECT text FROM documents WHERE doc_id = 0)
+                     || ' THEQUICKBROWNFOXJUMPS'
+          FROM range(2) t(i)
+        ), sh AS (
+          SELECT doc_id, unnest({_SHINGLE_SQL}) AS s FROM fix
+        ), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        ok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+        sh_ok AS (SELECT sh.* FROM sh JOIN ok USING (s)),
+        common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+          FROM sh_ok a JOIN sh_ok b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               round(n_common / (na.n + nb.n - n_common), 4) AS jaccard
+        FROM common JOIN sizes na ON na.doc_id = id_a
+                    JOIN sizes nb ON nb.doc_id = id_b
+        WHERE n_common / (na.n + nb.n - n_common) >= 0.3
+        ORDER BY id_a, id_b""",
+    note="every doc carries the same boilerplate suffix (df=82 > cap 50 -> "
+    "its internal shingles leave the join); the planted doc-0 clone pair "
+    "still clears the 0.3 threshold on genuine overlap with sizes counting "
+    "the capped shingles — the documented lower-bound semantics, "
+    "value-checked",
+)
+def dd_ngram_capped(spark, sf):
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    suffixed = F.concat(F.col("text"), F.lit(" THEQUICKBROWNFOXJUMPS"))
+    base = d.filter(F.col("doc_id") < 80).select(
+        "doc_id", suffixed.alias("text")
+    )
+    planted = (
+        d.filter(F.col("doc_id") == 0)
+        .select(suffixed.alias("text"))
+        .crossJoin(spark.range(2))
+        .select((F.lit(950000) + F.col("id")).alias("doc_id"), "text")
+    )
+    fix = base.unionByName(planted)
+    return ngram_jaccard_pairs(
+        fix, "text", "doc_id", threshold=0.3, max_shingle_df=50
+    ).orderBy("id_a", "id_b")
+
+
 def _wrap(fn: Callable) -> Callable:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_shipped(spark)
