@@ -1897,6 +1897,104 @@ def p10_published(spark, sf):
 
 
 @q(
+    "mg_alias_closure",
+    "J1/M3 transitive alias closure: chains A~B~C~D merge into ONE record "
+    "(reference serial inserts, internal/merger/merger.go:74-105 driven by "
+    "internal/jobs/server.go:864-907; engine: operators/merge.py "
+    "alias_components label propagation + fold_merge)",
+    """WITH g AS (
+          SELECT DISTINCT doc_id // 4 AS g FROM documents WHERE doc_id < 200
+        )
+        SELECT CASE WHEN g % 2 = 0 THEN 100000 + g ELSE 4*g + 3 END AS vuln_id,
+               'S-' || CAST(4*g + 2 AS VARCHAR) AS summary,
+               ['CH-' || CAST(4*g + 3 AS VARCHAR),
+                'CH-' || CAST(4*g + 2 AS VARCHAR),
+                'CH-' || CAST(4*g + 1 AS VARCHAR),
+                'CH-' || CAST(4*g AS VARCHAR)] AS aliases,
+               CASE WHEN g % 2 = 0 THEN ['cve', 'osv'] ELSE ['osv'] END
+                   AS sources,
+               4*g + 3 AS commit_seq
+        FROM g ORDER BY vuln_id""",
+    note="fixture plants 50 four-record alias chains (doc d carries CH-d "
+    "and, unless d%4=3, CH-(d+1)); every even-numbered chain also has an "
+    "existing cve record hooked to its interior alias. The oracle derives "
+    "the expected merged rows analytically from the chain structure: a "
+    "one-hop engine would split each chain into >=2 records and fail on "
+    "row count; a top-2 field fold would miss the tail aliases",
+)
+def mg_alias_closure(spark, sf):
+    from ..operators.merge import merge_by_alias_overlap
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    doc = F.col("doc_id")
+    ch = lambda c: F.concat(F.lit("CH-"), c.cast("string"))  # noqa: E731
+    inc = d.select(
+        doc.alias("vuln_id"),
+        F.lit("osv").alias("source"),
+        doc.alias("commit_seq"),
+        F.when(doc % 2 == 0, F.concat(F.lit("S-"), doc.cast("string")))
+        .otherwise(F.lit(""))
+        .alias("summary"),
+        F.when(doc % 4 != 3, F.array(ch(doc), ch(doc + 1)))
+        .otherwise(F.array(ch(doc)))
+        .alias("aliases"),
+    )
+    g = F.floor(doc / 4).cast("long")
+    ex = d.filter((doc % 4 == 0) & (g % 2 == 0)).select(
+        (F.lit(100000) + g).alias("vuln_id"),
+        F.lit("cve").alias("source"),
+        F.lit(0).cast("long").alias("commit_seq"),
+        F.concat(F.lit("E-"), g.cast("string")).alias("summary"),
+        F.array(ch(doc + 1)).alias("aliases"),
+    )
+    return merge_by_alias_overlap(
+        inc, ex, scalar_cols=["summary"], array_cols=["aliases"]
+    ).orderBy("vuln_id")
+
+
+@q(
+    "sim_ann_index_topk",
+    "similarity: PERSISTED partition-pruned ANN index (build once, query "
+    "touches only its band/bucket partitions — operators/similarity.py "
+    "build_ann_index/ann_index_topk)",
+    f"""WITH {_SIGS_SQL},
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        qs AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0),
+        cand AS (
+          SELECT e.vec_id, e.embedding
+          FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id CROSS JOIN qs
+          WHERE ((s.sig >> 0) & 15) = ((qs.qsig >> 0) & 15)
+             OR ((s.sig >> 4) & 15) = ((qs.qsig >> 4) & 15)
+             OR ((s.sig >> 8) & 15) = ((qs.qsig >> 8) & 15)
+             OR ((s.sig >> 12) & 15) = ((qs.qsig >> 12) & 15))
+        SELECT vec_id AS id,
+               round({_DOT_SQL.format(a="embedding", b="qv")}
+                     / (sqrt({_DOT_SQL.format(a="embedding", b="embedding")})
+                        * sqrt({_DOT_SQL.format(a="qv", b="qv")})), 6) + 0.0
+                   AS cosine
+        FROM cand, q ORDER BY cosine DESC, vec_id LIMIT 10""",
+    note="same md5-derived signature math as sim_ann_lsh_topk, but the "
+    "engine path materializes the signature table partitioned by "
+    "(band, bucket) and the query reads ONLY its own partitions "
+    "(directory pruning) — identical results, file I/O ∝ candidates",
+)
+def sim_ann_index(spark, sf):
+    import hashlib as _h
+    import os as _os
+
+    from ..operators.similarity import ann_index_topk, build_ann_index
+
+    e = _t(spark, sf, "embeddings")
+    idx = _os.path.join(
+        "/tmp",
+        "vds_ann_index_" + _h.sha256(sf.encode()).hexdigest()[:12],
+    )
+    if not _os.path.exists(_os.path.join(idx, "_SUCCESS")):
+        build_ann_index(e, "embedding", "vec_id", dim=64, out_path=idx)
+    return ann_index_topk(spark, idx, _query_vec(spark, sf), k=10)
+
+
+@q(
     "dd_minhash_capped",
     "hot-bucket cap semantics under the (now default) bounded mode: a "
     "planted clone family over the cap is dropped wholesale; a small "
