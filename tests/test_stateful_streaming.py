@@ -80,3 +80,62 @@ def test_state_survives_restart(spark, tmp_path):
     ]
     assert resumed, "no key demonstrates cross-restart state carry-over"
     assert max(r["max_seq"] for r in got.values()) == ev.commit_seq.max()
+
+def test_idle_timeout_retires_cold_state(spark, tmp_path):
+    """With idle_timeout_ms, a repo that goes quiet is retired: its next
+    event restarts counters from ZERO instead of carrying history (state
+    size bounded by the active working set, not ever-seen keys)."""
+    import time as _t
+
+    import pandas as pd
+
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    ckpt = tmp_path / "ckpt"
+
+    def drop(seq, repo, name):
+        pd.DataFrame(
+            {"commit_seq": [seq], "op": ["insert"], "repo": [repo],
+             "path": ["f.py"], "commit": [f"c{seq}"], "lang": ["python"],
+             "content": [f"v{seq}"],
+             "ts": [pd.Timestamp("2026-01-01", tz="UTC")],
+             "size_bytes": [10]}
+        ).to_parquet(str(log_dir / name), coerce_timestamps="us")
+
+    drop(1, "hot", "b0.parquet")
+    stream = read_changelog_stream(spark, str(log_dir), max_files_per_trigger=1)
+    rows = []
+    q = (
+        repo_stats_stream(stream, idle_timeout_ms=1500)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: rows.extend(
+            (bid, r["repo"], r["n_events"]) for r in df.collect()
+        ))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = _t.time() + 60
+        while not rows and _t.time() < deadline:
+            _t.sleep(0.3)
+        assert rows, "first batch never arrived"
+        # let 'hot' go idle past the timeout; keep the stream triggering
+        # with a different key so timeout processing actually runs
+        _t.sleep(2.5)
+        drop(2, "other", "b1.parquet")
+        deadline = _t.time() + 60
+        while not any(r[1] == "other" for r in rows) and _t.time() < deadline:
+            _t.sleep(0.3)
+        # 'hot' returns AFTER being retired: counters restart at 1
+        drop(3, "hot", "b2.parquet")
+        deadline = _t.time() + 60
+        while len([r for r in rows if r[1] == "hot"]) < 2 and _t.time() < deadline:
+            _t.sleep(0.3)
+    finally:
+        q.stop()
+    hot_counts = [n for _, repo, n in rows if repo == "hot"]
+    assert hot_counts[0] == 1
+    assert hot_counts[-1] == 1, (
+        f"cold state not retired: {hot_counts}"
+    )

@@ -153,9 +153,14 @@ def embedding_neardup_pairs(
     n_planes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-band candidate join +
-    exact cosine verification. Never a cross join."""
+    exact cosine verification. Never a cross join. ``max_bucket_size``
+    bounds hot-bucket fanout (e.g. a mass of zero/constant embeddings
+    landing in one sign bucket) exactly like the text dedup operators —
+    bounded by default, ``None`` opts out; drops are logged, never
+    silent."""
     with_sig = hyperplane_signature(df, vec_col, dim, n_planes, seed).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "lsh_sig"
     )
@@ -163,6 +168,12 @@ def embedding_neardup_pairs(
     rows = with_sig.select(
         "_id", "_v", F.posexplode(F.array(*bandcols)).alias("band", "bucket")
     )
+    if max_bucket_size is not None:
+        from .dedup import _cap_hot_groups
+
+        rows = _cap_hot_groups(
+            rows, ["band", "bucket"], max_bucket_size, "embedding_neardup"
+        )
     a, b = rows.alias("a"), rows.alias("b")
     cands = (
         a.join(
