@@ -287,3 +287,65 @@ def test_priority_merge_plan_has_no_collect_list(spark):
         df, ["k"], ["details"], ["aliases"]
     )._jdf.queryExecution().executedPlan().toString()
     assert "collect_list" not in plan
+
+
+def test_alias_components_matches_union_find_oracle(spark):
+    """Randomized graphs: label propagation must produce exactly the
+    connected components (and leaders) of a driver-side union-find over
+    shared aliases — multi-hop, star, and singleton shapes included."""
+    import random
+
+    from vuln_datasync_spark.operators.merge import (
+        SOURCE_PRIORITY,
+        alias_components,
+    )
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n = 40
+        srcs = ["osv", "gitlab", "cve"]
+        recs = []
+        for i in range(n):
+            n_alias = rng.choice([0, 1, 1, 2, 3])
+            aliases = [f"AL-{rng.randrange(25)}" for _ in range(n_alias)]
+            recs.append(
+                (i, aliases, rng.choice(srcs), rng.randrange(100))
+            )
+        df = spark.createDataFrame(
+            recs,
+            "vuln_id long, aliases array<string>, source string, "
+            "commit_seq long",
+        )
+        got = {
+            r["vuln_id"]: r["_leader"]
+            for r in alias_components(df).collect()
+        }
+
+        # union-find oracle
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        by_alias = {}
+        for i, aliases, _, _ in recs:
+            for a in aliases:
+                if a in by_alias:
+                    ra, rb = find(by_alias[a]), find(i)
+                    parent[ra] = rb
+                else:
+                    by_alias[a] = i
+        comp = {}
+        for i, _, src, ord_ in recs:
+            comp.setdefault(find(i), []).append(
+                (SOURCE_PRIORITY[src], -ord_, i)
+            )
+        want = {}
+        for members in comp.values():
+            leader = min(members)[2]
+            for _, _, i in members:
+                want[i] = leader
+        assert got == want, f"seed {seed}"

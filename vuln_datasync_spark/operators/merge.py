@@ -129,14 +129,20 @@ def fold_merge(
     is for groups of unbounded size (alias-closure components).
 
     Rank = row_number over the same (priority, -order, payload) total order
-    priority_merge uses. Scalar state is O(1) per key (conditional min of a
-    tiny (rank, value) struct). Array union is computed by exploding
-    elements, taking each element's first (rank, pos) occurrence, and
-    re-assembling in that order — aggregation state is O(#distinct
-    elements) = the size of the OUTPUT array, never O(group rows ×
-    payload). All aggregations share the key partitioning: one shuffle for
-    the window + scalar agg, plus one explode/reassemble pair per array
-    column on the same key."""
+    priority_merge uses. SINGLE PASS: array elements are exploded tagged
+    with (column, rank, position) ABOVE the window (Generate preserves the
+    window's hash partitioning, so the following groupBy adds NO second
+    exchange), and one aggregation produces everything — the upstream plan
+    executes exactly once (a per-array-column join variant was measured to
+    re-execute the whole upstream per branch: AQE does not reuse the
+    exchanges because column pruning specializes each branch's scan).
+
+    Aggregation state: scalars are O(1) per key (explode-duplication is
+    harmless — conditional ``min`` is duplicate-insensitive, as are
+    ``collect_set``/``max``); each output array buffers its group's tagged
+    elements (O(total array payload of the group) — elements + two ints,
+    never the rows' scalar payloads), then sorts by first occurrence and
+    dedups. The output array itself is the same order-preserving union."""
     array_cols = array_cols or []
     pri = source_priority_col(source_col)
     rank_struct = F.struct(
@@ -159,35 +165,72 @@ def fold_merge(
         )["_v"].alias(c)
         for c in scalar_cols
     ]
-    out = ranked.groupBy(*key_cols).agg(
+    base_aggs = [
         *scalar_aggs,
         F.array_sort(F.collect_set(source_col)).alias("sources"),
         F.max(order_col).alias(order_col),
+    ]
+    if not array_cols:
+        out = ranked.groupBy(*key_cols).agg(*base_aggs)
+        return out.select(*key_cols, *scalar_cols, "sources", order_col)
+
+    elem_types = {
+        df.schema[c].dataType.elementType.simpleString() for c in array_cols
+    }
+    if len(elem_types) != 1:
+        raise ValueError(
+            f"fold_merge array_cols must share one element type, got "
+            f"{sorted(elem_types)}"
+        )
+    # every element of every array column, tagged (col idx, position)
+    def _tagger(ci: int):
+        # factory, not a default arg: pyspark counts lambda PARAMETERS to
+        # pick the higher-order-function arity
+        return lambda x, i: F.struct(
+            F.lit(ci).alias("_ci"), i.alias("_pos"), x.alias("_e")
+        )
+
+    combined = F.flatten(
+        F.array(
+            *[
+                F.transform(F.coalesce(F.col(c), F.array()), _tagger(ci))
+                for ci, c in enumerate(array_cols)
+            ]
+        )
     )
-    for c in array_cols:
-        ex = ranked.select(
-            *key_cols,
-            "_rn",
-            F.posexplode(F.coalesce(F.col(c), F.array())).alias("_pos", "_elem"),
-        )
-        first = ex.groupBy(*key_cols, "_elem").agg(
-            F.min(F.struct(F.col("_rn"), F.col("_pos"))).alias("_o")
-        )
-        arr = first.groupBy(*key_cols).agg(
+    exploded = ranked.select(
+        *key_cols,
+        "_rn",
+        *scalar_cols,
+        source_col,
+        order_col,
+        # _outer: rows whose arrays are all empty must still feed scalars
+        F.posexplode_outer(combined).alias("_epos", "_el"),
+    )
+    array_aggs = [
+        F.array_distinct(
             F.transform(
                 F.array_sort(
                     F.collect_list(
-                        F.struct(F.col("_o").alias("_o"), F.col("_elem").alias("_e"))
+                        F.when(
+                            F.col("_el._ci") == ci,
+                            F.struct(
+                                F.col("_rn").alias("_rn"),
+                                F.col("_el._pos").alias("_pos"),
+                                F.col("_el._e").alias("_e"),
+                            ),
+                        )
                     )
                 ),
                 lambda x: x["_e"],
-            ).alias(c)
-        )
-        out = out.join(arr, key_cols, "left").withColumn(
-            c, F.coalesce(F.col(c), F.array())
-        )
-    order = [*key_cols, *scalar_cols, *array_cols, "sources", order_col]
-    return out.select(*order)
+            )
+        ).alias(c)
+        for ci, c in enumerate(array_cols)
+    ]
+    out = exploded.groupBy(*key_cols).agg(*base_aggs, *array_aggs)
+    return out.select(
+        *key_cols, *scalar_cols, *array_cols, "sources", order_col
+    )
 
 
 def raw_data_envelope(primary: Column, secondary: Column) -> Column:
