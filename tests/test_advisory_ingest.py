@@ -1,0 +1,148 @@
+"""End-to-end advisory ingest pipeline: normalize → alias merge (transitive)
+→ unchanged-skip → bucketed MERGE. Mirrors the reference's sync loop
+(internal/jobs/server.go:115-170, 864-907) at the pipeline level."""
+
+import json
+
+from vuln_datasync_spark.pipelines import create_vuln_table, ingest_advisories
+from vuln_datasync_spark.sources.osv import normalize_osv_records
+
+GL_SCHEMA = (
+    "vuln_id string, aliases array<string>, summary string, "
+    "details string, modified_at timestamp"
+)
+
+
+def _osv_frame(spark, records):
+    return normalize_osv_records(
+        spark.createDataFrame([(json.dumps(r),) for r in records],
+                              "raw string"),
+        "raw",
+    )
+
+
+def test_ingest_merge_skip_and_exactly_once(spark, tmp_path):
+    table = create_vuln_table(spark, str(tmp_path / "vulns"), n_buckets=4)
+
+    osv = _osv_frame(spark, [
+        {"id": "OSV-1", "summary": "osv summary one",
+         "details": "long details one", "aliases": ["CVE-100"],
+         "modified": "2026-01-02T00:00:00Z"},
+        {"id": "OSV-2", "summary": "osv summary two",
+         "details": "", "aliases": ["CVE-200"],
+         "modified": "2026-01-02T00:00:00Z"},
+    ])
+    lin1 = ingest_advisories(table, {"osv": osv}, run_seq=1)
+    assert lin1["rows_applied"] == 2
+    rows = {r["vuln_id"]: r for r in table.read().collect()}
+    assert set(rows) == {"OSV-1", "OSV-2"}
+    assert rows["OSV-1"]["sources"] == ["osv"]
+    assert rows["OSV-1"]["summary"] == "osv summary one"
+
+    # run 2: a gitlab advisory overlapping OSV-1 via CVE-100; its extra
+    # alias + details must fold in, id and osv-priority fields must stay
+    gl = spark.createDataFrame(
+        [("G-1", ["CVE-100", "GHSA-9"], "", "gitlab details",
+          None)],
+        GL_SCHEMA,
+    )
+    lin2 = ingest_advisories(table, {"gitlab": gl}, run_seq=2)
+    assert lin2["rows_applied"] == 1  # OSV-2 untouched (hash skip)
+    rows = {r["vuln_id"]: r for r in table.read().collect()}
+    assert set(rows) == {"OSV-1", "OSV-2"}
+    m = rows["OSV-1"]
+    assert m["sources"] == ["gitlab", "osv"]
+    assert "GHSA-9" in m["aliases"] and "CVE-100" in m["aliases"]
+    assert m["summary"] == "osv summary one"  # osv outranks gitlab
+    assert m["details"] == "long details one"
+
+    # run 3: identical input -> nothing changes, no bucket rewritten
+    files_before = dict(table.manifest()["files"])
+    lin3 = ingest_advisories(table, {"gitlab": gl}, run_seq=3)
+    assert lin3["rows_applied"] == 0
+    assert dict(table.manifest()["files"]) == files_before
+
+    # replaying an already-committed epoch is a no-op (exactly-once)
+    assert ingest_advisories(table, {"gitlab": gl}, run_seq=3) is None
+
+
+def test_ingest_transitive_chain_into_store(spark, tmp_path):
+    """Two incoming records that only chain together transitively — and
+    only one of which touches the stored record — must ALL land on the
+    stored id."""
+    table = create_vuln_table(spark, str(tmp_path / "vulns"), n_buckets=4)
+    osv = _osv_frame(spark, [
+        {"id": "OSV-10", "summary": "stored", "details": "",
+         "aliases": ["CVE-1"], "modified": "2026-01-01T00:00:00Z"},
+    ])
+    ingest_advisories(table, {"osv": osv}, run_seq=1)
+
+    gl = spark.createDataFrame(
+        [
+            ("G-1", ["CVE-1", "LINK-1"], "", "", None),
+            ("G-2", ["LINK-1", "LINK-2"], "", "far end", None),
+        ],
+        GL_SCHEMA,
+    )
+    ingest_advisories(table, {"gitlab": gl}, run_seq=2)
+    rows = {r["vuln_id"]: r for r in table.read().collect()}
+    assert set(rows) == {"OSV-10"}
+    m = rows["OSV-10"]
+    assert {"CVE-1", "LINK-1", "LINK-2"} <= set(m["aliases"])
+    assert m["details"] == "far end"
+    assert m["sources"] == ["gitlab", "osv"]
+
+
+def test_ingest_rejects_unknown_source(spark, tmp_path):
+    import pytest
+
+    table = create_vuln_table(spark, str(tmp_path / "v2"), n_buckets=2)
+    df = spark.createDataFrame([("X-1", ["A"], "", "", None)], GL_SCHEMA)
+    with pytest.raises(ValueError, match="unknown sources"):
+        ingest_advisories(table, {"mystery": df}, run_seq=1)
+
+
+def test_cli_ingest_osv_and_gitlab_tree(spark, tmp_path, capsys, monkeypatch):
+    from vuln_datasync_spark import cli
+    from vuln_datasync_spark.sinks.manifest_table import ManifestTable
+
+    monkeypatch.setattr(cli, "_spark", lambda args: spark)
+    osv_path = tmp_path / "osv.jsonl"
+    osv_path.write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"id": "OSV-77", "summary": "s77", "details": "d77",
+                 "aliases": ["CVE-77"], "modified": "2026-02-01T00:00:00Z"},
+            ]
+        )
+    )
+    tree = tmp_path / "adv" / "npm" / "leftpad"
+    tree.mkdir(parents=True)
+    (tree / "CVE-77.yml").write_text(
+        "identifier: GHSA-x7\n"
+        "title: t77\n"
+        "description: gitlab d77\n"
+        "identifiers: [CVE-77, GHSA-x7]\n"
+        "package_slug: npm/leftpad\n"
+        "fixed_versions: ['2.0']\n"
+        "modified_date: '2026-02-02'\n"
+    )
+    tbl = str(tmp_path / "vulns")
+    assert cli.main([
+        "ingest", "--table", tbl, "--run-seq", "1",
+        "--osv-json", str(osv_path), "--gitlab-tree", str(tmp_path / "adv"),
+    ]) == 0
+    lineage = json.loads(capsys.readouterr().out.strip())
+    assert lineage["rows_applied"] == 1  # one merged record
+
+    t = ManifestTable(spark, tbl)
+    rows = t.read().collect()
+    assert len(rows) == 1
+    m = rows[0]
+    # alias overlap on CVE-77 merged the two sources under the osv id
+    assert m["vuln_id"] == "OSV-77"
+    assert m["sources"] == ["gitlab", "osv"]
+    assert "GHSA-x7" in m["aliases"]
+    assert m["package_name"] == "leftpad"
+    assert m["fixed_versions"] == ["2.0"]

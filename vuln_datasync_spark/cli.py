@@ -137,6 +137,45 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Advisory sync run (reference handleSyncVulnerabilities analog):
+    normalize whichever sources were given, alias-merge, upsert."""
+    import os
+
+    from .pipelines import (
+        create_vuln_table,
+        gitlab_advisories_to_vulns,
+        ingest_advisories,
+    )
+    from .sinks.manifest_table import ManifestTable
+    from .sources.advisories import read_advisories
+    from .sources.cve import normalize_cve_records
+    from .sources.osv import normalize_osv_records
+
+    spark = _spark(args)
+    if os.path.exists(os.path.join(args.table, "_table.json")):
+        table = ManifestTable(spark, args.table)
+    else:
+        table = create_vuln_table(spark, args.table, n_buckets=args.buckets)
+    by_source = {}
+    if args.osv_json:
+        raw = spark.read.text(args.osv_json).withColumnRenamed("value", "raw")
+        by_source["osv"] = normalize_osv_records(raw, "raw")
+    if args.cve_json:
+        raw = spark.read.text(args.cve_json).withColumnRenamed("value", "raw")
+        by_source["cve"] = normalize_cve_records(raw, "raw")
+    if args.gitlab_tree:
+        by_source["gitlab"] = gitlab_advisories_to_vulns(
+            read_advisories(spark, args.gitlab_tree)
+        )
+    if not by_source:
+        print(json.dumps({"error": "no sources given"}))
+        return 2
+    lineage = ingest_advisories(table, by_source, run_seq=args.run_seq)
+    print(json.dumps(lineage))
+    return 0
+
+
 def cmd_synth(args) -> int:
     from .datagen import generate_changelog_spark
 
@@ -197,6 +236,20 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--lineage-max-files", type=int, default=64,
                    help="compact _lineage/ when it holds more parquet files than this")
     c.set_defaults(fn=cmd_compact)
+
+    i = sub.add_parser(
+        "ingest", help="advisory sync run (osv/cve/gitlab -> vuln table)"
+    )
+    i.add_argument("--table", required=True)
+    i.add_argument("--buckets", type=int, default=16)
+    i.add_argument("--run-seq", type=int, required=True)
+    i.add_argument("--osv-json", default=None,
+                   help="path/glob of OSV records, one JSON per line")
+    i.add_argument("--cve-json", default=None,
+                   help="path/glob of CVE 5.x records, one JSON per line")
+    i.add_argument("--gitlab-tree", default=None,
+                   help="root of a GitLab advisory YAML tree")
+    i.set_defaults(fn=cmd_ingest)
 
     g = sub.add_parser("synth", help="generate a synthetic changelog")
     g.add_argument("--events", type=int, default=100000)

@@ -273,7 +273,14 @@ def alias_components(
     lattice, so it converges in at most the graph diameter (alias chains in
     vulnerability data are a few hops — 2-3 iterations in practice), and
     ``max_iters`` bounds the worst case. Convergence is logged, and label
-    state per iteration is O(#records), never O(pairs)."""
+    state per iteration is O(#records), never O(pairs).
+
+    The RETURNED frame stays cached (the iteration materialized it for its
+    convergence checks; downstream consumers — merge_by_alias_overlap uses
+    it in two join branches — hit the cache instead of replaying the whole
+    iterative lineage). It is O(#records) and LRU-evicted; callers looping
+    at micro-batch cadence should ``.unpersist()`` it after their action
+    if they hold the reference."""
     label = F.struct(
         source_priority_col(source_col).alias("_p"),
         (-F.col(order_col)).alias("_no"),

@@ -1,0 +1,190 @@
+"""End-to-end advisory ingest — the reference's sync loop as ONE pipeline.
+
+Reference flow (/root/reference/internal/jobs/server.go:115-170
+handleSyncVulnerabilities → processBatch → processSingleOSVVuln
+864-907): per source, normalize each record, find an alias-overlap match,
+merge cross-source fields under priority, skip the write when the data
+hash is unchanged, upsert the rest. This module is the batch restatement a
+reference user would call instead:
+
+    normalize per source (sources/osv.py, cve.py, advisories.py)
+      → to_canonical (one vulnerability schema)
+      → merge_by_alias_overlap (transitive closure + n-ary field fold)
+      → data-hash unchanged-skip (M2 no-op, merger.go:124-137)
+      → ManifestTable.merge (bucketed COW upsert, exactly-once epoch)
+
+Scale shape: the alias merge is the documented closure+fold plan (shuffles
+∝ keys); the unchanged-skip anti-join means a steady-state re-sync touches
+ONLY buckets with genuinely changed records — the merge's COW cost is ∝
+actual change volume, not catalog size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.merge import SOURCE_PRIORITY, merge_by_alias_overlap
+from ..sinks.manifest_table import ManifestTable
+
+CANON_SCALARS = ["summary", "details", "severity", "package_name", "ecosystem"]
+CANON_ARRAYS = ["aliases", "affected_versions", "fixed_versions"]
+VULN_KEY = ("vuln_id",)
+# recency used for merge-rank ties; epoch millis of the record's modified
+# timestamp (0 when the source supplies none)
+_ORD = "modified_seq"
+
+
+def to_canonical(df: DataFrame, source_name: str) -> DataFrame:
+    """Project a per-source normalized frame onto the canonical
+    vulnerability schema (reference types.Vulnerability,
+    /root/reference/internal/types/types.go): missing scalars become
+    null, missing arrays empty, and recency is derived from whichever
+    modified/updated timestamp the source produced."""
+    cols = [F.col("vuln_id").cast("string").alias("vuln_id")]
+    for c in CANON_SCALARS:
+        cols.append(
+            (F.col(c).cast("string") if c in df.columns else F.lit(None).cast(
+                "string"
+            )).alias(c)
+        )
+    for c in CANON_ARRAYS:
+        cols.append(
+            (
+                F.coalesce(F.col(c), F.array().cast("array<string>"))
+                if c in df.columns
+                else F.array().cast("array<string>")
+            ).alias(c)
+        )
+    ts = None
+    for cand in ("modified_at", "updated_at", "published_at"):
+        if cand in df.columns:
+            ts = F.col(cand) if ts is None else F.coalesce(ts, F.col(cand))
+    cols.append(
+        (
+            F.coalesce(F.unix_millis(ts), F.lit(0)) if ts is not None
+            else F.lit(0)
+        ).cast("long").alias(_ORD)
+    )
+    cols.append(F.lit(source_name).alias("source"))
+    return df.select(*cols)
+
+
+def gitlab_advisories_to_vulns(df: DataFrame) -> DataFrame:
+    """Adapter: parse_yaml_advisories output → ingest input (the
+    reference's GitLab normalization, /root/reference/internal/merger/
+    normalizer.go NormalizeGitLab): identifier becomes the id, the alias
+    pool is the sanitized identifiers list, package name is the slug's
+    last segment, and recency parses RFC3339 or date-only forms."""
+    from ..functions.hashing import sanitize_aliases
+    from ..functions.timestamps import parse_date_only, parse_rfc3339
+
+    return df.select(
+        F.col("identifier").alias("vuln_id"),
+        sanitize_aliases(
+            F.coalesce(F.col("identifiers"), F.array().cast("array<string>"))
+        ).alias("aliases"),
+        F.col("title").alias("summary"),
+        F.col("description").alias("details"),
+        F.col("cvss").alias("severity"),
+        F.element_at(F.split(F.col("package_slug"), "/"), -1).alias(
+            "package_name"
+        ),
+        F.col("ecosystem"),
+        F.col("fixed_versions"),
+        F.coalesce(
+            parse_rfc3339(F.col("modified_date")),
+            parse_date_only(F.col("modified_date")),
+        ).alias("modified_at"),
+    )
+
+
+def _data_hash() -> F.Column:
+    """M8 content hash over the merged record's payload (reference
+    CalculateDataHash analog) — recency/bookkeeping columns excluded so an
+    unchanged record hashes identically run after run."""
+    return F.sha2(
+        F.to_json(
+            F.struct(
+                *[F.col(c) for c in CANON_SCALARS + CANON_ARRAYS],
+                F.col("sources"),
+            )
+        ),
+        256,
+    )
+
+
+def create_vuln_table(
+    spark: SparkSession, root: str, n_buckets: int = 16
+) -> ManifestTable:
+    return ManifestTable.create(
+        spark, root, n_buckets=n_buckets, key_cols=VULN_KEY
+    )
+
+
+def ingest_advisories(
+    table: ManifestTable,
+    by_source: dict[str, DataFrame],
+    run_seq: int,
+    checkpoint_id: str = "advisories",
+    batch_id: int | None = None,
+) -> dict | None:
+    """One sync run. ``by_source`` maps source name (must appear in
+    SOURCE_PRIORITY) to its normalized frame (output of
+    normalize_osv_records / normalize_cve_records /
+    parse_yaml_advisories, or anything with vuln_id+aliases). ``run_seq``
+    must increase per run (it is the LWW order of the upsert). Returns the
+    commit's lineage record, or None when this epoch already committed."""
+    unknown = set(by_source) - set(SOURCE_PRIORITY)
+    if unknown:
+        raise ValueError(f"unknown sources (no priority): {sorted(unknown)}")
+    inc = None
+    for name, df in by_source.items():
+        c = to_canonical(df, name)
+        inc = c if inc is None else inc.unionByName(c)
+
+    stored = table.read()
+    have_store = "sources" in stored.columns
+    if have_store:
+        # one row per provenance source: fold_merge's aggregation is
+        # duplicate-insensitive, so the merged record reconstructs the
+        # full source set and the alias window still picks one best match
+        existing = stored.select(
+            "vuln_id",
+            *CANON_SCALARS,
+            *CANON_ARRAYS,
+            F.col(_ORD),
+            F.explode("sources").alias("source"),
+        )
+    else:
+        existing = inc.limit(0)
+
+    merged = merge_by_alias_overlap(
+        inc,
+        existing,
+        scalar_cols=CANON_SCALARS,
+        array_cols=CANON_ARRAYS,
+        order_col=_ORD,
+    ).withColumn("data_hash", _data_hash())
+
+    if have_store:
+        # M2 unchanged-skip: records whose merged payload hashes exactly
+        # like the stored row never touch their bucket
+        changed = merged.join(
+            stored.select("vuln_id", "data_hash"),
+            ["vuln_id", "data_hash"],
+            "left_anti",
+        )
+    else:
+        changed = merged
+
+    winners = (
+        changed.withColumn("commit_seq", F.lit(run_seq).cast("long"))
+        .withColumn("commit", F.col("data_hash"))
+        .withColumn("op", F.lit("insert"))
+    )
+    return table.merge(
+        winners,
+        checkpoint_id=checkpoint_id,
+        batch_id=run_seq if batch_id is None else batch_id,
+    )
