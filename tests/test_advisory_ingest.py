@@ -54,7 +54,10 @@ def test_ingest_merge_skip_and_exactly_once(spark, tmp_path):
     assert m["sources"] == ["gitlab", "osv"]
     assert "GHSA-9" in m["aliases"] and "CVE-100" in m["aliases"]
     assert m["summary"] == "osv summary one"  # osv outranks gitlab
-    assert m["details"] == "long details one"
+    # the OSV projection carries no details column (it only feeds the
+    # summary fallback, as in the reference normalizer) -> the gitlab
+    # details fill the empty field
+    assert m["details"] == "gitlab details"
 
     # run 3: identical input -> nothing changes, no bucket rewritten
     files_before = dict(table.manifest()["files"])

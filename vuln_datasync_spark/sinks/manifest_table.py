@@ -69,6 +69,14 @@ _WIDEN = {
 }
 
 
+def _same_type(a: T.DataType, b: T.DataType) -> bool:
+    """Type equality modulo nullability (containsNull/valueContainsNull/
+    field nullable): parquet does not enforce these, and frames built from
+    collect_set/array() legitimately disagree with read schemas on them —
+    simpleString() renders the shape without nullability flags."""
+    return a.simpleString() == b.simpleString()
+
+
 def _merge_schemas(a: T.StructType, b: T.StructType) -> T.StructType:
     """Union of columns with type widening; order = a's columns then new."""
     fields: dict[str, T.StructField] = {f.name: f for f in a.fields}
@@ -77,7 +85,7 @@ def _merge_schemas(a: T.StructType, b: T.StructType) -> T.StructType:
             fields[f.name] = T.StructField(f.name, f.dataType, True)
         else:
             cur = fields[f.name]
-            if cur.dataType != f.dataType:
+            if not _same_type(cur.dataType, f.dataType):
                 w = _WIDEN.get((cur.dataType.typeName(), f.dataType.typeName()))
                 if w is None:
                     raise ValueError(
@@ -97,7 +105,7 @@ def _conform(df: DataFrame, schema: T.StructType) -> DataFrame:
     for f in schema.fields:
         if f.name in have:
             c = F.col(f.name)
-            if have[f.name].dataType != f.dataType:
+            if not _same_type(have[f.name].dataType, f.dataType):
                 c = c.cast(f.dataType)
             cols.append(c.alias(f.name))
         else:
