@@ -1,0 +1,83 @@
+"""Corpus-prep operators: hash split stability, chunk reconstruction,
+contamination bounds."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vuln_datasync_spark.operators.corpus import (
+    chunk_documents,
+    contamination_report,
+    hash_split,
+)
+
+
+def test_hash_split_stable_and_complete(spark):
+    d = spark.range(2000).select(F.col("id").alias("doc_id"))
+    w = {"train": 0.75, "val": 0.125, "test": 0.125}
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(d, "doc_id", w).collect()}
+    # deterministic across invocations
+    s2 = {r["doc_id"]: r["split"] for r in hash_split(d, "doc_id", w).collect()}
+    assert s1 == s2
+    # every row labeled; proportions roughly honored
+    n = len(s1)
+    assert n == 2000
+    train = sum(1 for v in s1.values() if v == "train") / n
+    assert 0.70 < train < 0.80
+    # growing the data never moves existing rows
+    d2 = spark.range(4000).select(F.col("id").alias("doc_id"))
+    s3 = {r["doc_id"]: r["split"] for r in hash_split(d2, "doc_id", w).collect()}
+    assert all(s3[k] == v for k, v in s1.items())
+    # a different salt is an explicit resplit
+    s4 = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(d, "doc_id", w, salt="v2").collect()
+    }
+    assert s4 != s1
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(d, "doc_id", {"a": 0.5}).collect()
+
+
+def test_chunk_documents_reconstructs_text(spark):
+    text = "abcdefghij" * 13 + "xyz"  # 133 chars
+    d = spark.createDataFrame(
+        [(1, text), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    chunks = chunk_documents(
+        d, "text", "doc_id", chunk_chars=50, overlap=10
+    ).collect()
+    assert all(r["doc_id"] == 1 for r in chunks)  # empty/null -> no chunks
+    chunks.sort(key=lambda r: r["chunk_idx"])
+    # starts advance by step=40; overlap region repeats
+    assert [r["chunk_start"] for r in chunks] == [0, 40, 80, 120]
+    assert all(len(r["chunk_text"]) <= 50 for r in chunks)
+    # stitching non-overlap prefixes + final chunk reproduces the text
+    stitched = "".join(r["chunk_text"][:40] for r in chunks[:-1])
+    stitched += chunks[-1]["chunk_text"]
+    assert stitched == text
+    for r in chunks:
+        assert text[r["chunk_start"]:r["chunk_start"] + 50] == r["chunk_text"]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(d, "text", "doc_id", chunk_chars=10, overlap=10)
+
+
+def test_contamination_bounds(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # verbatim
+            (11, "zzzz0000zzzz1111zzzz2222"),  # disjoint
+        ],
+        "bench_id long, text string",
+    )
+    got = {
+        r["bench_id"]: r
+        for r in contamination_report(
+            corpus, bench, "text", "bench_id", shingle_k=8
+        ).collect()
+    }
+    assert got[10]["contamination"] == 1.0
+    assert got[11]["contamination"] == 0.0
+    assert got[11]["n_contaminated"] == 0

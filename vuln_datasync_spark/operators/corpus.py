@@ -1,0 +1,155 @@
+"""Corpus-preparation operators for training-data pipelines.
+
+Complements dedup/similarity/text: deterministic dataset splitting,
+document chunking, and benchmark-contamination measurement. All pure
+column expressions (whole-stage codegen, no Python), all reproducible in
+any engine via the md5-fraction idiom, so every operator is
+value-checkable against a SQL oracle.
+
+* hash_split            — stable train/val/test assignment from
+                          md5(id || salt); adding data never reshuffles
+                          existing assignments (the property random()
+                          splits lack), and the split survives reruns,
+                          engines, and partitioning.
+* chunk_documents       — fixed-width character chunks with overlap via
+                          sequence + posexplode; 1:N fan-out with no
+                          shuffle, chunk provenance (doc, idx, offset)
+                          preserved.
+* contamination_report  — per-benchmark-document fraction of shingles
+                          present anywhere in the training corpus
+                          (n-gram overlap contamination, the
+                          train/test-leak check): distinct-shingle semi
+                          join, shuffle ∝ vocabulary, never pairwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import char_shingles
+
+
+def _md5_fraction(col: Column, salt: str) -> Column:
+    """Deterministic uniform [0,1) from md5(col || salt): top 15 hex
+    digits -> integer / 16^15. 16^15 = 2^60 is a power of two, so the
+    only rounding is the IEEE double conversion of the numerator —
+    identical in every engine (DuckDB: CAST(concat('0x', substring(
+    md5(x||salt),1,15)) AS UBIGINT) / POWER(16,15))."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(col, F.lit(salt))), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(16**15))
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "v1",
+) -> DataFrame:
+    """Assign each row a stable split label. ``weights`` maps label ->
+    fraction (must sum to ~1; dict order defines the cumulative
+    intervals). Rows hash on (id, salt) only — new data never moves old
+    rows between splits, and bumping ``salt`` is an explicit resplit."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    frac = _md5_fraction(F.col(id_col).cast("string"), salt)
+    cum = 0.0
+    expr = None
+    last = None
+    for label, w in weights.items():
+        cum += w
+        cond = frac < F.lit(cum)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+        last = label
+    # float-edge rows (frac == 1.0 cannot happen; frac >= last cum due to
+    # weight rounding can) land in the final split
+    return df.withColumn("split", expr.otherwise(F.lit(last)))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split each document into fixed-width character chunks with
+    ``overlap`` characters of context carried between neighbors.
+    Returns (id_col, chunk_idx, chunk_start, chunk_text); empty/null
+    documents produce no chunks. Pure fan-out: sequence + posexplode,
+    no shuffle, no Python."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length(F.col(text_col)) - 1, F.lit(0)),
+        F.lit(step),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+        F.col(text_col).alias("_t"),
+    )
+    return (
+        out.filter(F.length("_t") > 0)
+        .select(
+            id_col,
+            "chunk_idx",
+            "chunk_start",
+            F.substring(
+                F.col("_t"), F.col("chunk_start") + 1, chunk_chars
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """For every benchmark document: how much of it already appears in the
+    training corpus? Returns (id, n_shingles, n_contaminated,
+    contamination) where contamination = fraction of the benchmark doc's
+    DISTINCT ``shingle_k``-grams found anywhere in the corpus.
+
+    Plan: explode distinct shingles on both sides, reduce the corpus side
+    to its distinct shingle vocabulary (map-side combine), LEFT SEMI join
+    the benchmark shingles against it, count per doc. Shuffle is ∝
+    vocabulary size; no document ever pairs with another document."""
+    bench_sh = benchmark.select(
+        F.col(id_col),
+        F.explode(char_shingles(F.col(text_col), shingle_k)).alias("_s"),
+    ).dropDuplicates([id_col, "_s"])
+    corpus_sh = (
+        corpus.select(
+            F.explode(char_shingles(F.col(text_col), shingle_k)).alias("_s")
+        ).distinct()
+    )
+    totals = bench_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = (
+        bench_sh.join(corpus_sh, "_s", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0))
+                / F.col("n_shingles"),
+                4,
+            ).alias("contamination"),
+        )
+    )

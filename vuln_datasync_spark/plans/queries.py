@@ -2114,6 +2114,131 @@ def dd_ngram_capped(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+@q(
+    "samp_hash_split",
+    "corpus prep: deterministic train/val/test hash split "
+    "(operators/corpus.py hash_split — stable under data growth, "
+    "engine-reproducible md5 fraction)",
+    """WITH f AS (
+          SELECT CAST(concat('0x', substring(
+                     md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 15))
+                     AS UBIGINT) / POWER(16, 15) AS frac
+          FROM documents
+        )
+        SELECT CASE WHEN frac < 0.75 THEN 'train'
+                    WHEN frac < 0.875 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(count(*) AS BIGINT) AS n
+        FROM f GROUP BY 1 ORDER BY split""",
+    note="cumulative weights 0.75/0.125/0.125 are exact binary fractions, "
+    "so the Spark-side python cumsum and the SQL literals are bit-equal "
+    "(0.9+0.05 would differ in the 16th digit)",
+)
+def samp_split(spark, sf):
+    from ..operators.corpus import hash_split
+
+    d = _t(spark, sf, "documents")
+    return (
+        hash_split(
+            d, "doc_id",
+            weights={"train": 0.75, "val": 0.125, "test": 0.125},
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("split")
+    )
+
+
+@q(
+    "tx_chunk_documents",
+    "corpus prep: fixed-width character chunking with overlap "
+    "(operators/corpus.py chunk_documents — sequence+posexplode fan-out, "
+    "no shuffle)",
+    """WITH d AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id < 50 AND length(text) > 0
+        ), s AS (
+          SELECT doc_id, text,
+                 unnest(generate_series(0, length(text) - 1, 80))
+                     AS chunk_start
+          FROM d
+        )
+        SELECT doc_id,
+               CAST(chunk_start / 80 AS INTEGER) AS chunk_idx,
+               CAST(chunk_start AS INTEGER) AS chunk_start,
+               substring(text, CAST(chunk_start AS INTEGER) + 1, 100)
+                   AS chunk_text
+        FROM s ORDER BY doc_id, chunk_idx""",
+)
+def tx_chunk(spark, sf):
+    from ..operators.corpus import chunk_documents
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    return chunk_documents(
+        d, "text", "doc_id", chunk_chars=100, overlap=20
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@q(
+    "decon_contamination",
+    "corpus prep: benchmark-contamination report — fraction of each "
+    "benchmark doc's 8-gram shingles present anywhere in the corpus "
+    "(operators/corpus.py contamination_report; train/test-leak check)",
+    """WITH corpus AS (
+          SELECT DISTINCT unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(length(lower(text))-7, 1)),
+                   i -> substring(lower(text), i, 8)))) AS s
+          FROM documents WHERE doc_id < 200
+        ), bench AS (
+          SELECT 9000 + doc_id AS bench_id, text FROM documents
+          WHERE doc_id < 3
+          UNION ALL
+          SELECT 9100 + i, repeat('qzx7', 40) || CAST(i AS VARCHAR)
+          FROM range(2) t(i)
+        ), bsh AS (
+          SELECT DISTINCT bench_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(length(lower(text))-7, 1)),
+                   i -> substring(lower(text), i, 8)))) AS s
+          FROM bench
+        ), tot AS (
+          SELECT bench_id, CAST(count(*) AS BIGINT) AS n_shingles
+          FROM bsh GROUP BY 1
+        ), hit AS (
+          SELECT bench_id, CAST(count(*) AS BIGINT) AS n_contaminated
+          FROM bsh WHERE s IN (SELECT s FROM corpus) GROUP BY 1
+        )
+        SELECT tot.bench_id, n_shingles,
+               CAST(coalesce(n_contaminated, 0) AS BIGINT)
+                   AS n_contaminated,
+               round(coalesce(n_contaminated, 0) / n_shingles, 4)
+                   AS contamination
+        FROM tot LEFT JOIN hit USING (bench_id)
+        ORDER BY bench_id""",
+    note="three planted leaks (verbatim copies of corpus docs 0-2 -> "
+    "contamination 1.0) plus two clean synthetic docs; the oracle "
+    "recomputes the exact shingle-overlap fractions",
+)
+def decon_contamination(spark, sf):
+    from ..operators.corpus import contamination_report
+
+    d = _t(spark, sf, "documents")
+    corpus = d.filter(F.col("doc_id") < 200)
+    leaked = d.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 9000).alias("bench_id"), "text"
+    )
+    clean = spark.range(2).select(
+        (F.col("id") + 9100).alias("bench_id"),
+        F.concat(
+            F.repeat(F.lit("qzx7"), 40), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    bench = leaked.unionByName(clean)
+    return contamination_report(
+        corpus, bench, "text", "bench_id", shingle_k=8
+    ).orderBy("bench_id")
+
+
 def _wrap(fn: Callable) -> Callable:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_shipped(spark)
