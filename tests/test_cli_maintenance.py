@@ -271,3 +271,23 @@ def test_expire_tombstones_adopts_concurrent_rebucket_layout(spark, tmp_path):
         F.col("is_deleted")
     ).count() == 0
     assert {r["repo"] for r in a.read().collect()} == {"r2"}
+
+
+def test_optimistic_commit_conflict_detected(spark, tmp_path):
+    """The expected-parent check must refuse a commit whose parent moved
+    (optimistic single-writer; SURVEY §7.1 commit protocol)."""
+    import pytest
+
+    t = ManifestTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    rows = [(1, "insert", "r1", "a.py", "c1", "python", "v1", None, None)]
+    apply_batch(_batch(spark, rows), t, "c", 0)
+    stale_parent = t.current_snapshot_id()
+    # another writer advances the table
+    apply_batch(
+        _batch(spark, [(2, "insert", "r2", "b.py", "c2", "python", "v2",
+                        None, None)]), t, "c", 1
+    )
+    m = dict(t.manifest())
+    m["snapshot_id"] = "zzz-conflict"
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        t._commit(m, expected_parent=stale_parent)
