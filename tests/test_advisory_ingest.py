@@ -149,3 +149,32 @@ def test_cli_ingest_osv_and_gitlab_tree(spark, tmp_path, capsys, monkeypatch):
     assert "GHSA-x7" in m["aliases"]
     assert m["package_name"] == "leftpad"
     assert m["fixed_versions"] == ["2.0"]
+
+
+def test_ingest_id_collision_without_alias_overlap(spark, tmp_path):
+    """An incoming record re-publishing a STORED id with disjoint aliases
+    must fold with the stored row (key collision in the MERGE), not
+    overwrite it — and untouched stored records must stay byte-identical."""
+    table = create_vuln_table(spark, str(tmp_path / "vulns"), n_buckets=4)
+    osv = _osv_frame(spark, [
+        {"id": "OSV-1", "summary": "first summary", "details": "",
+         "aliases": ["CVE-1"], "modified": "2026-01-01T00:00:00Z"},
+        {"id": "OSV-2", "summary": "untouched", "details": "",
+         "aliases": ["CVE-2"], "modified": "2026-01-01T00:00:00Z"},
+    ])
+    ingest_advisories(table, {"osv": osv}, run_seq=1)
+
+    # republish OSV-1 with an entirely new alias set and NO summary
+    osv2 = _osv_frame(spark, [
+        {"id": "OSV-1", "summary": "", "details": "brand new details",
+         "aliases": ["CVE-999"], "modified": "2026-03-01T00:00:00Z"},
+    ])
+    lin = ingest_advisories(table, {"osv": osv2}, run_seq=2)
+    assert lin["rows_applied"] == 1
+    rows = {r["vuln_id"]: r for r in table.read().collect()}
+    assert set(rows) == {"OSV-1", "OSV-2"}
+    m = rows["OSV-1"]
+    # incoming is newer (higher modified_seq) so it ranks first, but its
+    # summary is the OSV details-fallback; the stored alias set must merge
+    assert {"CVE-1", "CVE-999"} <= set(m["aliases"])
+    assert rows["OSV-2"]["summary"] == "untouched"

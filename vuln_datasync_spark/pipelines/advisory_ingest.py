@@ -149,13 +149,31 @@ def ingest_advisories(
         # one row per provenance source: fold_merge's aggregation is
         # duplicate-insensitive, so the merged record reconstructs the
         # full source set and the alias window still picks one best match
-        existing = stored.select(
+        existing_all = stored.select(
             "vuln_id",
             *CANON_SCALARS,
             *CANON_ARRAYS,
             F.col(_ORD),
             F.explode("sources").alias("source"),
         )
+        # restrict the merge to stored records the batch can actually
+        # touch: alias-matched ones plus direct id collisions (an incoming
+        # record re-publishing a stored id with disjoint aliases must
+        # still fold with the stored row, not overwrite it). Everything
+        # else would fold to itself and be dropped by the hash-skip anyway
+        # — pre-filtering makes the fold's compute ∝ incoming+touched, not
+        # catalog size (the reference pays a full alias-cache scan per run,
+        # merger.go:46-71; the column-pruned match scan here is that
+        # analog, but payload never flows for untouched records)
+        from ..operators.merge import alias_overlap_match
+
+        pre = alias_overlap_match(inc, existing_all, order_col=_ORD)
+        touched_ids = (
+            pre.select(F.col("matched_id").alias("vuln_id"))
+            .unionByName(inc.select("vuln_id"))
+            .distinct()
+        )
+        existing = existing_all.join(touched_ids, "vuln_id", "left_semi")
     else:
         existing = inc.limit(0)
 
