@@ -135,7 +135,10 @@ def replay_worker(master: str, log_dir: str, lww_mode: str = "auto"):
 # comparison is auditable either way.
 SCALE_N = os.environ.get("SPARK_GRAFT_SCALE_N", "1")
 SCALE_4N = os.environ.get("SPARK_GRAFT_SCALE_4N", "4")
-SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "5"))
+# 7 reps: with 5, two degraded-host pairs drag the median below the
+# engine's real scaling even when hw_pair_efficiencies show the host
+# itself failed to scale at those moments
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "7"))
 # the scaling pair runs a LONGER replay (4M events) than the headline:
 # per-batch fixed costs (session/job setup, python worker spin-up, file
 # listing) don't shrink with cores and at 1M events eat ~20-35% of the

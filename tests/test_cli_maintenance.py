@@ -197,6 +197,9 @@ def test_lineage_compact_and_expire(spark, tmp_path):
     rec = t.expire_lineage("2999-01-01T00:00:00Z")
     assert rec["rows_kept"] == 0
     assert g.glob(ldir + "/*.parquet") == []
+    # a fully-expired lineage dir reads as an EMPTY frame, not an
+    # unable-to-infer-schema error
+    assert t.read_lineage().count() == 0
 
 
 def test_rebucket_empty_table_takes_effect(spark, tmp_path):

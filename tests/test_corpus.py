@@ -81,3 +81,26 @@ def test_contamination_bounds(spark):
     assert got[10]["contamination"] == 1.0
     assert got[11]["contamination"] == 0.0
     assert got[11]["n_contaminated"] == 0
+
+
+def test_hash_split_null_ids_route_to_first_split(spark):
+    d = spark.createDataFrame(
+        [("a",), ("b",), (None,)], "doc_id string"
+    )
+    got = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            d, "doc_id", {"train": 0.75, "val": 0.125, "test": 0.125}
+        ).collect()
+    }
+    assert got[None] == "train"  # never silently lands in eval/test
+
+
+def test_chunk_no_zero_new_char_tail(spark):
+    """A start inside the previous chunk's overlap region must not emit a
+    wholly-contained duplicate chunk."""
+    d = spark.createDataFrame([(1, "x" * 45)], "doc_id long, text string")
+    chunks = chunk_documents(
+        d, "text", "doc_id", chunk_chars=50, overlap=10
+    ).collect()
+    assert [r["chunk_start"] for r in chunks] == [0]  # 40 would add nothing

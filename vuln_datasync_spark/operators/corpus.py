@@ -58,13 +58,16 @@ def hash_split(
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split weights must sum to 1, got {total}")
     frac = _md5_fraction(F.col(id_col).cast("string"), salt)
+    labels = list(weights)
+    # null ids hash to null -> every threshold comparison is null-false;
+    # route them to the FIRST (largest) split explicitly so they can never
+    # silently contaminate the eval/test splits at the tail
+    expr = F.when(frac.isNull(), labels[0])
     cum = 0.0
-    expr = None
     last = None
     for label, w in weights.items():
         cum += w
-        cond = frac < F.lit(cum)
-        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+        expr = expr.when(frac < F.lit(cum), label)
         last = label
     # float-edge rows (frac == 1.0 cannot happen; frac >= last cum due to
     # weight rounding can) land in the final split
@@ -86,9 +89,14 @@ def chunk_documents(
     if overlap >= chunk_chars:
         raise ValueError("overlap must be smaller than chunk_chars")
     step = chunk_chars - overlap
+    # bound = len - overlap - 1: a start inside the previous chunk's
+    # overlap region would emit a chunk with ZERO new characters (pure
+    # duplicated text — poison for a training corpus)
     starts = F.sequence(
         F.lit(0),
-        F.greatest(F.length(F.col(text_col)) - 1, F.lit(0)),
+        F.greatest(
+            F.length(F.col(text_col)) - F.lit(overlap) - 1, F.lit(0)
+        ),
         F.lit(step),
     )
     out = df.select(

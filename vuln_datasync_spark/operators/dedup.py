@@ -33,6 +33,11 @@ from ..functions.text import char_shingles
 
 logger = logging.getLogger("vuln_datasync_spark.dedup")
 
+# hot-group key sets up to this size are collected + broadcast as a
+# literal frame; beyond it the anti-join stays distributed (a shingle-df
+# cap on a web corpus flags millions of common n-grams — never driver-safe)
+_COLLECT_LIMIT = 20_000
+
 
 def _cap_hot_groups(
     rows: DataFrame, group_cols: list[str], cap: int, what: str
@@ -44,39 +49,47 @@ def _cap_hot_groups(
     deterministic (no sampling), and the drop volume is logged — never a
     silent truncation.
 
-    Cost shape: the OVER-cap set is tiny by construction (only boilerplate
-    groups exceed a sane cap), so it is collected to the driver in ONE
-    action (the same one that logs the drop volume) and anti-joined back as
-    a broadcast LITERAL frame — no cached DataFrame lingers in the session
-    (repeated per-micro-batch calls used to accumulate persisted frames),
-    and when nothing exceeds the cap (the common case) the input is
-    returned untouched with NO extra join in the plan. The ok-side group
-    counts (∝ vocabulary, huge for shingles) are never materialized.
-    Upstream lineage runs once here and once in the caller's action — the
-    price of eager, honest drop accounting."""
-    hot_rows = (
+    Cost shape: the over-cap set is counted in ONE driver action (which
+    also logs the drop volume — honest accounting costs one extra upstream
+    execution, the documented price of the default-on caps). When nothing
+    exceeds the cap (the common case) the input is returned untouched with
+    NO extra join in the plan. A SMALL hot set (LSH band buckets — only
+    boilerplate families overflow) is collected and anti-joined back as a
+    broadcast LITERAL frame, so no cached DataFrame lingers in the
+    session. A LARGE hot set (shingle document frequency on a web corpus:
+    every common n-gram can exceed the cap, millions of keys) must never
+    be collected — past ``_COLLECT_LIMIT`` hot keys the anti-join stays
+    DISTRIBUTED (shuffle on the same group keys the caller's own join
+    uses). The ok-side group counts (∝ vocabulary) are never
+    materialized."""
+    hot = (
         rows.groupBy(*group_cols)
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") > cap)
-        .collect()
     )
-    if not hot_rows:
+    stats = hot.agg(
+        F.count("*").alias("groups"),
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("rows"),
+    ).head()
+    if not stats["groups"]:
         return rows
     logger.warning(
         "%s: dropping %d hot %s groups (%d member rows) over cap %d "
         "— near-dup pairs inside them are NOT reported",
         what,
-        len(hot_rows),
+        stats["groups"],
         "/".join(group_cols),
-        sum(r["_n"] for r in hot_rows),
+        stats["rows"],
         cap,
     )
-    spark = rows.sparkSession
-    hot_df = spark.createDataFrame(
-        [[r[c] for c in group_cols] for r in hot_rows],
-        rows.select(*group_cols).schema,
-    )
-    return rows.join(F.broadcast(hot_df), group_cols, "left_anti")
+    if stats["groups"] <= _COLLECT_LIMIT:
+        hot_rows = hot.collect()
+        hot_df = rows.sparkSession.createDataFrame(
+            [[r[c] for c in group_cols] for r in hot_rows],
+            rows.select(*group_cols).schema,
+        )
+        return rows.join(F.broadcast(hot_df), group_cols, "left_anti")
+    return rows.join(hot.drop("_n"), group_cols, "left_anti")
 
 
 def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:

@@ -275,12 +275,14 @@ def alias_components(
     ``max_iters`` bounds the worst case. Convergence is logged, and label
     state per iteration is O(#records), never O(pairs).
 
-    The RETURNED frame stays cached (the iteration materialized it for its
-    convergence checks; downstream consumers — merge_by_alias_overlap uses
-    it in two join branches — hit the cache instead of replaying the whole
-    iterative lineage). It is O(#records) and LRU-evicted; callers looping
-    at micro-batch cadence should ``.unpersist()`` it after their action
-    if they hold the reference."""
+    The returned frame is ``localCheckpoint``-ed (truncated lineage —
+    downstream consumers replay nothing of the iterative loop) and the
+    loop's own caches are unpersisted before returning, so repeated calls
+    (sync runs, micro-batches) leak nothing: checkpoint blocks are
+    reclaimed by the ContextCleaner once the caller drops its references,
+    unlike persist() entries, which the cache manager pins forever.
+    (localCheckpoint trades executor-loss resilience for that — fine for
+    a batch operator; a lost-executor rerun restarts the merge.)"""
     label = F.struct(
         source_priority_col(source_col).alias("_p"),
         (-F.col(order_col)).alias("_no"),
@@ -332,10 +334,12 @@ def alias_components(
             max_iters,
         )
     logger.info("alias_components: converged after %d iterations", iters)
-    edges.unpersist()
-    return nodes.select(
+    out = nodes.select(
         F.col("_nid").alias(id_col), F.col("_lbl._id").alias("_leader")
-    )
+    ).localCheckpoint(eager=True)
+    nodes.unpersist()
+    edges.unpersist()
+    return out
 
 
 def alias_overlap_match(

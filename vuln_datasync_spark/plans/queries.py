@@ -2159,8 +2159,8 @@ def samp_split(spark, sf):
           WHERE doc_id < 50 AND length(text) > 0
         ), s AS (
           SELECT doc_id, text,
-                 unnest(generate_series(0, length(text) - 1, 80))
-                     AS chunk_start
+                 unnest(generate_series(0, greatest(length(text) - 21, 0),
+                                        80)) AS chunk_start
           FROM d
         )
         SELECT doc_id,

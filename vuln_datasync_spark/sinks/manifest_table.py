@@ -54,6 +54,10 @@ from ..operators.lww import lww_resolve
 logger = logging.getLogger("vuln_datasync_spark.manifest_table")
 
 KEY_COLS = ("repo", "path")
+LINEAGE_DDL = (
+    "snapshot_id string, checkpoint_id string, batch_id long, bucket long, "
+    "seq_start long, seq_end long, rows_applied long, committed_at string"
+)
 META_COLS = ("is_deleted",)
 
 # type-widening lattice (Iceberg-compatible promotions)
@@ -512,12 +516,21 @@ class ManifestTable:
             }
             for b, n in (lineage["buckets"] or {"-1": 0}).items()
         ]
-        pd.DataFrame(rows).to_parquet(
-            os.path.join(ldir, f"{lineage['snapshot_id']}.parquet"), index=False
-        )
+        out = os.path.join(ldir, f"{lineage['snapshot_id']}.parquet")
+        # tmp + rename: a concurrent compact/expire/read must never see a
+        # half-written parquet
+        pd.DataFrame(rows).to_parquet(out + ".tmp", index=False)
+        os.replace(out + ".tmp", out)
 
     def read_lineage(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.root, "_lineage"))
+        ldir = os.path.join(self.root, "_lineage")
+        if not glob.glob(os.path.join(ldir, "*.parquet")):
+            # empty (never committed, or fully expired): a stable empty
+            # frame instead of Spark's unable-to-infer-schema error
+            return self.spark.createDataFrame(
+                [], T.StructType.fromDDL(LINEAGE_DDL)
+            )
+        return self.spark.read.parquet(ldir)
 
     # ---------- maintenance ----------
 

@@ -219,9 +219,11 @@ def run_stream(
     else:
         writer = writer.trigger(availableNow=True)
     query = writer.start()
+    if graceful_stop:
+        # install BEFORE any early return: a caller managing the query
+        # object itself still asked for signal-drain semantics
+        install_graceful_stop(query)
     if not await_termination:
         return table, query
-    if graceful_stop:
-        install_graceful_stop(query)
     query.awaitTermination()
     return table
