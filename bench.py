@@ -229,6 +229,50 @@ def run_scaling(log_dir: str) -> dict:
     return res
 
 
+def bench_ingest(spark) -> dict:
+    """Advisory-ingest pipeline throughput (pipelines/advisory_ingest.py):
+    cold load, alias-overlap merge into the store, and the steady-state
+    no-op resync (hash-skip). Synthetic advisories, /dev/shm sink."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vuln_datasync_spark.pipelines import create_vuln_table, ingest_advisories
+
+    sink_base = "/dev/shm/vds-bench" if os.path.isdir("/dev/shm") else WORK
+    os.makedirs(sink_base, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="vds_ing_", dir=sink_base)
+
+    def synth(n, src):
+        return spark.range(n).select(
+            F.concat(F.lit(f"{src.upper()}-"), F.col("id").cast("string")).alias("vuln_id"),
+            F.array(
+                F.concat(F.lit("CVE-"), F.col("id").cast("string")),
+                F.concat(F.lit(f"X{src}-"), F.col("id").cast("string")),
+            ).alias("aliases"),
+            F.concat(F.lit("summary "), F.col("id").cast("string")).alias("summary"),
+            F.concat(F.lit("details "), F.md5(F.col("id").cast("string"))).alias("details"),
+            F.lit(None).cast("timestamp").alias("modified_at"),
+        )
+
+    t = create_vuln_table(spark, os.path.join(base, "v"), n_buckets=32)
+    out = {}
+    t0 = time.monotonic()
+    lin = ingest_advisories(t, {"osv": synth(50000, "osv")}, run_seq=1)
+    out["cold_50k_sec"] = round(time.monotonic() - t0, 3)
+    assert lin["rows_applied"] == 50000
+    t0 = time.monotonic()
+    lin = ingest_advisories(t, {"gitlab": synth(10000, "gl")}, run_seq=2)
+    out["merge_10k_sec"] = round(time.monotonic() - t0, 3)
+    assert lin["rows_applied"] == 10000
+    t0 = time.monotonic()
+    lin = ingest_advisories(t, {"gitlab": synth(10000, "gl")}, run_seq=3)
+    out["noop_resync_sec"] = round(time.monotonic() - t0, 3)
+    assert lin["rows_applied"] == 0
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def main():
     os.makedirs(WORK, exist_ok=True)
     if len(sys.argv) > 1 and sys.argv[1] == "--replay-worker":
@@ -276,6 +320,7 @@ def main():
         spark.read.schema(CHANGELOG_SCHEMA).parquet(log_dir), "auto"
     )
     timings["cdc_replay"] = r["sec"]
+    ingest = bench_ingest(spark)
     spark.stop()
 
     scaling = None
@@ -294,6 +339,7 @@ def main():
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cdc": cdc,
+        "ingest": ingest,
         "scaling": scaling,
     }
     print(json.dumps(out))
