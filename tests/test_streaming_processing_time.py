@@ -65,29 +65,35 @@ def test_sigterm_graceful_stop_subprocess(tmp_path):
     tbl = str(tmp_path / "table")
     ckpt = str(tmp_path / "ckpt")
 
-    proc = subprocess.Popen(
-        [sys.executable, "-m", "vuln_datasync_spark.cli",
-         "--master", "local[2]",
-         "stream", "--changelog", str(log_dir), "--table", tbl,
-         "--checkpoint", ckpt, "--processing-time", "1 seconds",
-         "--max-files-per-trigger", "1"],
-        cwd="/root/repo",
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-    )
+    # stdout to a FILE, not a PIPE: an undrained pipe fills at ~64 KB of
+    # Spark log output and BLOCKS the child mid-write, stalling the stream
+    out_path = tmp_path / "stream.out"
+    with open(out_path, "wb") as out_f:
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "vuln_datasync_spark.cli",
+             "--master", "local[2]",
+             "stream", "--changelog", str(log_dir), "--table", tbl,
+             "--checkpoint", ckpt, "--processing-time", "1 seconds",
+             "--max-files-per-trigger", "1"],
+            cwd="/root/repo",
+            stdout=out_f, stderr=subprocess.STDOUT,
+        )
     try:
         # wait for the first commit (the _current pointer appears)
-        deadline = time.time() + 120
+        deadline = time.time() + 240
         cur = os.path.join(tbl, "_current")
         while not os.path.exists(cur) and time.time() < deadline:
             if proc.poll() is not None:
-                out = proc.stdout.read().decode(errors="replace")
+                out = out_path.read_bytes().decode(errors="replace")
                 raise AssertionError(f"stream died early:\n{out[-3000:]}")
             time.sleep(0.5)
         assert os.path.exists(cur), "no commit within deadline"
 
         proc.send_signal(signal.SIGTERM)
-        out, _ = proc.communicate(timeout=90)
-        assert proc.returncode == 0, out.decode(errors="replace")[-3000:]
+        proc.wait(timeout=120)
+        assert proc.returncode == 0, (
+            out_path.read_bytes().decode(errors="replace")[-3000:]
+        )
     finally:
         if proc.poll() is None:
             proc.kill()
