@@ -104,3 +104,27 @@ def test_chunk_no_zero_new_char_tail(spark):
         d, "text", "doc_id", chunk_chars=50, overlap=10
     ).collect()
     assert [r["chunk_start"] for r in chunks] == [0]  # 40 would add nothing
+
+
+def test_tfidf_top_terms(spark):
+    from vuln_datasync_spark.operators.corpus import tfidf_top_terms
+
+    d = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "banana cherry cherry"),
+            (3, "apple durian"),
+        ],
+        "doc_id long, text string",
+    )
+    got = tfidf_top_terms(d, "text", "doc_id", k=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) == 2 for v in by_doc.values())
+    # doc 1: 'apple' (tf=2, df=2) outranks 'banana' and 'cherry' (tf=1)
+    top1 = max(by_doc[1], key=lambda r: r["score"])
+    assert top1["term"] == "apple" and top1["tf"] == 2
+    # doc 3: 'durian' (df=1, rarest) outranks 'apple' (df=2)
+    top3 = max(by_doc[3], key=lambda r: r["score"])
+    assert top3["term"] == "durian" and top3["doc_freq"] == 1

@@ -161,3 +161,58 @@ def contamination_report(
             ).alias("contamination"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf (smoothed:
+    idf = ln((N+1)/(df+1)) + 1). Returns (id, term, tf, doc_freq, score)
+    with score rounded to 4 decimals and deterministic (score desc, term)
+    ordering.
+
+    Plan: whitespace tokenize (pure column exprs), explode, one groupBy
+    for term frequencies, one for document frequencies (both map-side
+    combined, shuffle ∝ vocabulary), broadcast-joined idf, window top-k.
+    No Python anywhere."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        toks.dropDuplicates([id_col, "term"])
+        .groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    n_docs = df.count()
+    scored = tf.join(dfreq, "term").select(
+        id_col,
+        "term",
+        "tf",
+        "doc_freq",
+        F.round(
+            F.col("tf")
+            * (
+                F.log((F.lit(float(n_docs + 1))) / (F.col("doc_freq") + 1))
+                + F.lit(1.0)
+            ),
+            4,
+        ).alias("score"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

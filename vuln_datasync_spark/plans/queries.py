@@ -2239,6 +2239,50 @@ def decon_contamination(spark, sf):
     ).orderBy("bench_id")
 
 
+@q(
+    "tx_tfidf_top_terms",
+    "corpus prep: top-k characteristic terms per doc by smoothed tf-idf "
+    "(operators/corpus.py tfidf_top_terms — tokenize/explode, two "
+    "vocabulary-keyed aggs, window top-k; pure JVM)",
+    r"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+        toks AS (
+          SELECT doc_id, t AS term
+          FROM d, unnest(string_split_regex(lower(text), '\s+')) AS u(t)
+          WHERE t <> ''
+        ),
+        tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM toks GROUP BY 1, 2
+        ),
+        dfreq AS (
+          SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+          FROM toks GROUP BY 1
+        ),
+        n AS (SELECT count(*) AS n FROM d),
+        scored AS (
+          SELECT doc_id, term, tf, doc_freq,
+                 round(tf * (ln((n + 1.0) / (doc_freq + 1)) + 1.0), 4)
+                     AS score
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+          FROM scored)
+        SELECT doc_id, term, tf, doc_freq, score
+        FROM r WHERE rn <= 3 ORDER BY doc_id, term""",
+    note="rank runs on the 4-decimal ROUNDED score with a term tiebreak, "
+    "so a 1-ulp ln() difference between engines cannot flip the top-k",
+)
+def tx_tfidf(spark, sf):
+    from ..operators.corpus import tfidf_top_terms
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    return tfidf_top_terms(d, "text", "doc_id", k=3).orderBy(
+        "doc_id", "term"
+    )
+
+
 def _wrap(fn: Callable) -> Callable:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_shipped(spark)
