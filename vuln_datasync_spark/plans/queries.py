@@ -2283,6 +2283,52 @@ def tx_tfidf(spark, sf):
     )
 
 
+@q(
+    "j8_asof_join",
+    "CDC point-in-time lookup: AS-OF join (operators/asof.py — tagged "
+    "union spine + running last(ignorenulls) carry, ONE shuffle, never a "
+    "range cross join)",
+    """WITH v AS (
+          SELECT event_id, user_id FROM events
+          WHERE event_type = 'view' AND event_id < 2000
+        ), c AS (
+          SELECT user_id, event_id, value FROM events
+          WHERE event_type = 'click'
+        )
+        SELECT v.event_id, v.user_id,
+               c.event_id AS click_event_id_asof,
+               c.value AS click_value_asof
+        FROM v ASOF LEFT JOIN c
+          ON v.user_id = c.user_id AND v.event_id >= c.event_id
+        ORDER BY v.event_id""",
+    note="DuckDB's native ASOF JOIN is the oracle — for every view event, "
+    "the latest same-user click at or before it (nulls when none)",
+)
+def j8_asof(spark, sf):
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    views = ev.filter(
+        (F.col("event_type") == "view") & (F.col("event_id") < 2000)
+    ).select("event_id", "user_id")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "value"
+    )
+    return asof_join(
+        views,
+        clicks,
+        on=["user_id"],
+        left_ord="event_id",
+        right_ord="event_id",
+        right_cols=["event_id", "value"],
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("event_id_asof").alias("click_event_id_asof"),
+        F.col("value_asof").alias("click_value_asof"),
+    ).orderBy("event_id")
+
+
 def _wrap(fn: Callable) -> Callable:
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_shipped(spark)
