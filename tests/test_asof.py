@@ -43,3 +43,54 @@ def test_asof_strict_excludes_equal(spark):
     }
     assert got[("k1", 10)] is None         # strict: equal seq no longer matches
     assert got[("k1", 20)] == "R15"
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized parity with pandas.merge_asof (backward direction) —
+    independent reference implementation, both tie modes."""
+    import random
+
+    import pandas as pd
+
+    for seed, strict in [(11, False), (12, True)]:
+        rng = random.Random(seed)
+        lrows = [
+            (f"k{rng.randrange(6)}", rng.randrange(100), f"L{i}")
+            for i in range(120)
+        ]
+        rrows = [
+            (f"k{rng.randrange(6)}", rng.randrange(100), f"R{i}")
+            for i in range(80)
+        ]
+        # merge_asof needs unique, sorted ordering; dedupe (k, seq) keeping
+        # the last so "latest right at each seq" is well-defined
+        rdict = {}
+        for k, seq, lbl in rrows:
+            rdict[(k, seq)] = lbl
+        rrows = [(k, s, v) for (k, s), v in rdict.items()]
+
+        left = spark.createDataFrame(lrows, "k string, seq long, lbl string")
+        right = spark.createDataFrame(rrows, "k string, seq long, rlbl string")
+        got = {
+            (r["k"], r["seq"], r["lbl"]): r["rlbl_asof"]
+            for r in asof_join(
+                left, right, on=["k"], left_ord="seq", right_ord="seq",
+                right_cols=["rlbl"], strict=strict,
+            ).collect()
+        }
+
+        lp = pd.DataFrame(lrows, columns=["k", "seq", "lbl"]).sort_values(
+            "seq", kind="stable"
+        )
+        rp = pd.DataFrame(rrows, columns=["k", "seq", "rlbl"]).sort_values(
+            "seq", kind="stable"
+        )
+        want_df = pd.merge_asof(
+            lp, rp, on="seq", by="k", direction="backward",
+            allow_exact_matches=not strict,
+        )
+        want = {
+            (r.k, r.seq, r.lbl): (None if pd.isna(r.rlbl) else r.rlbl)
+            for r in want_df.itertuples()
+        }
+        assert got == want, f"seed {seed} strict={strict}"

@@ -38,7 +38,12 @@ def asof_join(
     """Left as-of join: every ``left`` row plus the payload of the latest
     ``right`` row with ``right_ord <= left_ord`` (``<`` when ``strict``)
     sharing the ``on`` key; nulls when no such right row exists. Output =
-    all left columns + one ``{col}{suffix}`` per ``right_cols``."""
+    all left columns + one ``{col}{suffix}`` per ``right_cols``.
+
+    ``(on, right_ord)`` should uniquely identify right rows: duplicates at
+    the same key and order value tie in the window sort, and which of them
+    is carried is unspecified (dedupe the right side first if that
+    matters)."""
     lv = F.struct(*[F.col(c) for c in left.columns]).alias("_lv")
     rv = F.struct(*[F.col(c) for c in right_cols]).alias("_rv")
     right_side, left_side = (1, 0) if strict else (0, 1)
