@@ -49,41 +49,48 @@ def _cap_hot_groups(
     deterministic (no sampling), and the drop volume is logged — never a
     silent truncation.
 
-    Cost shape: the over-cap set is counted in ONE driver action (which
-    also logs the drop volume — honest accounting costs one extra upstream
-    execution, the documented price of the default-on caps). When nothing
+    Cost shape: the hot-group keys are fetched in ONE driver action —
+    ``hot.limit(_COLLECT_LIMIT + 1).collect()`` — which doubles as the
+    stats source (group count + dropped-row volume derive from the
+    collected rows), so honest accounting costs exactly one upstream
+    execution, the documented price of the default-on caps. When nothing
     exceeds the cap (the common case) the input is returned untouched with
     NO extra join in the plan. A SMALL hot set (LSH band buckets — only
-    boilerplate families overflow) is collected and anti-joined back as a
-    broadcast LITERAL frame, so no cached DataFrame lingers in the
-    session. A LARGE hot set (shingle document frequency on a web corpus:
-    every common n-gram can exceed the cap, millions of keys) must never
-    be collected — past ``_COLLECT_LIMIT`` hot keys the anti-join stays
-    DISTRIBUTED (shuffle on the same group keys the caller's own join
-    uses). The ok-side group counts (∝ vocabulary) are never
-    materialized."""
+    boilerplate families overflow) is anti-joined back as a broadcast
+    LITERAL frame, so no cached DataFrame lingers in the session. A LARGE
+    hot set (shingle document frequency on a web corpus: every common
+    n-gram can exceed the cap, millions of keys) must never be collected —
+    past ``_COLLECT_LIMIT`` hot keys the anti-join stays DISTRIBUTED
+    (shuffle on the same group keys the caller's own join uses) and only
+    then does an aggregate-only stats action pay a second execution. The
+    ok-side group counts (∝ vocabulary) are never materialized."""
     hot = (
         rows.groupBy(*group_cols)
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") > cap)
     )
-    stats = hot.agg(
-        F.count("*").alias("groups"),
-        F.coalesce(F.sum("_n"), F.lit(0)).alias("rows"),
-    ).head()
-    if not stats["groups"]:
+    hot_rows = hot.limit(_COLLECT_LIMIT + 1).collect()
+    if not hot_rows:
         return rows
+    if len(hot_rows) <= _COLLECT_LIMIT:
+        groups = len(hot_rows)
+        dropped = sum(r["_n"] for r in hot_rows)
+    else:
+        stats = hot.agg(
+            F.count("*").alias("groups"),
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("rows"),
+        ).head()
+        groups, dropped = stats["groups"], stats["rows"]
     logger.warning(
         "%s: dropping %d hot %s groups (%d member rows) over cap %d "
         "— near-dup pairs inside them are NOT reported",
         what,
-        stats["groups"],
+        groups,
         "/".join(group_cols),
-        stats["rows"],
+        dropped,
         cap,
     )
-    if stats["groups"] <= _COLLECT_LIMIT:
-        hot_rows = hot.collect()
+    if groups <= _COLLECT_LIMIT:
         hot_df = rows.sparkSession.createDataFrame(
             [[r[c] for c in group_cols] for r in hot_rows],
             rows.select(*group_cols).schema,
@@ -144,8 +151,18 @@ def minhash_lsh_candidates(
     out of the cap.
     """
     r = k // bands
-    sig = minhash_signature(df, text_col, k, shingle_k).select(
-        F.col(id_col).alias("_id"), "minhash"
+    # The signature frame (k md5s over every shingle — the expensive part
+    # of this operator) feeds FOUR separately-compiled plan branches: the
+    # band join's two sides, the hot-group cap action, and est_jaccard's
+    # sa/sb lookups. localCheckpoint materializes it ONCE (narrow: id +
+    # k 32-char hashes, ∝ doc count not text bytes) so no branch replays
+    # the shingle/md5 work; blocks are reclaimed by the ContextCleaner
+    # when the caller drops the result (unlike persist(), nothing stays
+    # pinned in the cache manager).
+    sig = (
+        minhash_signature(df, text_col, k, shingle_k)
+        .select(F.col(id_col).alias("_id"), "minhash")
+        .localCheckpoint(eager=True)
     )
     band_rows = sig.select(
         "_id",
@@ -225,7 +242,12 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         F.explode(char_shingles(F.col(text_col), shingle_k)).alias("s"),
     )
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("n"))
+    # |A| per doc straight off the (distinct-element) shingle array — no
+    # explode, no groupBy shuffle, one fewer execution of the upstream
+    sizes = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(char_shingles(F.col(text_col), shingle_k)).alias("n"),
+    )
     if max_shingle_df is not None:
         sh = _cap_hot_groups(sh, ["s"], max_shingle_df, "ngram_jaccard")
     a = sh.alias("a")
@@ -291,9 +313,11 @@ def simhash_pairs(
     (chunk_idx, chunk), verify with bit_count(xor). ``max_bucket_size``
     bounds hot-chunk fanout exactly like minhash_lsh_candidates (bounded
     by default; ``None`` opts out)."""
+    # the pandas-UDF hash feeds the cap action and both join sides —
+    # materialize once (narrow: id + one long per doc)
     sig = df.select(
         F.col(id_col).alias("_id"), simhash64_udf(F.col(text_col)).alias("sh")
-    )
+    ).localCheckpoint(eager=True)
     chunks = sig.select(
         "_id",
         "sh",
