@@ -168,6 +168,7 @@ def tfidf_top_terms(
     text_col: str,
     id_col: str,
     k: int = 5,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Top-k characteristic terms per document by tf-idf (smoothed:
     idf = ln((N+1)/(df+1)) + 1). Returns (id, term, tf, doc_freq, score)
@@ -177,7 +178,9 @@ def tfidf_top_terms(
     Plan: whitespace tokenize (pure column exprs), explode, one groupBy
     for term frequencies, one for document frequencies (both map-side
     combined, shuffle ∝ vocabulary), broadcast-joined idf, window top-k.
-    No Python anywhere."""
+    No Python anywhere, and no driver-side action: when ``n_docs`` is not
+    supplied, N rides the plan as a broadcast one-row crossJoin instead of
+    a blocking ``df.count()``."""
     toks = df.select(
         F.col(id_col),
         F.explode(
@@ -193,18 +196,21 @@ def tfidf_top_terms(
         .groupBy("term")
         .agg(F.count("*").alias("doc_freq"))
     )
-    n_docs = df.count()
-    scored = tf.join(dfreq, "term").select(
+    if n_docs is not None:
+        n_plus_1 = F.lit(float(n_docs + 1))
+        joined = tf.join(dfreq, "term")
+    else:
+        nd = df.agg(F.count("*").alias("_n_docs"))
+        n_plus_1 = (F.col("_n_docs") + 1).cast("double")
+        joined = tf.join(dfreq, "term").crossJoin(F.broadcast(nd))
+    scored = joined.select(
         id_col,
         "term",
         "tf",
         "doc_freq",
         F.round(
             F.col("tf")
-            * (
-                F.log((F.lit(float(n_docs + 1))) / (F.col("doc_freq") + 1))
-                + F.lit(1.0)
-            ),
+            * (F.log(n_plus_1 / (F.col("doc_freq") + 1)) + F.lit(1.0)),
             4,
         ).alias("score"),
     )
