@@ -178,3 +178,54 @@ def test_ingest_id_collision_without_alias_overlap(spark, tmp_path):
     # summary is the OSV details-fallback; the stored alias set must merge
     assert {"CVE-1", "CVE-999"} <= set(m["aliases"])
     assert rows["OSV-2"]["summary"] == "untouched"
+
+
+def test_ingest_per_source_recency_not_inflated_by_group_max(spark, tmp_path):
+    """A source's fresh update whose own timestamp is below the GROUP max
+    (because a lower-priority source committed a newer ts earlier) must
+    still beat its own stale stored copy. Regression: exploding stored
+    records with the single group-max modified_seq inflated every source's
+    recency, so the fold kept the stale copy and the unchanged-hash skip
+    silently dropped the update."""
+    import datetime as dt
+
+    table = create_vuln_table(spark, str(tmp_path / "vulns"), n_buckets=4)
+    jan10 = dt.datetime(2026, 1, 10)
+    jan20 = dt.datetime(2026, 1, 20)
+    feb01 = dt.datetime(2026, 2, 1)
+    osv = spark.createDataFrame(
+        [("OSV-1", ["CVE-100"], "old osv", "", jan10)], GL_SCHEMA
+    )
+    cve = spark.createDataFrame(
+        [("CVE-100", ["CVE-100"], "cve summary", "cve details", feb01)],
+        GL_SCHEMA,
+    )
+    ingest_advisories(table, {"osv": osv, "cve": cve}, run_seq=1)
+    rows = {r["vuln_id"]: r for r in table.read().collect()}
+    m = rows["OSV-1"]
+    assert m["summary"] == "old osv"  # osv priority beats cve recency
+    # per-source recency persisted, not the group max
+    ords = dict(m["source_ords"])
+    assert ords["osv"] == int(jan10.timestamp() * 1000)
+    assert ords["cve"] == int(feb01.timestamp() * 1000)
+
+    # osv re-publishes: newer than ITS stored copy, older than group max
+    osv2 = spark.createDataFrame(
+        [("OSV-1", ["CVE-100"], "new osv", "", jan20)], GL_SCHEMA
+    )
+    lin = ingest_advisories(table, {"osv": osv2}, run_seq=2)
+    assert lin["rows_applied"] == 1  # NOT silently hash-skipped
+    m = {r["vuln_id"]: r for r in table.read().collect()}["OSV-1"]
+    assert m["summary"] == "new osv"
+    assert dict(m["source_ords"])["osv"] == int(jan20.timestamp() * 1000)
+
+    # same source, SAME timestamp, changed payload: incoming wins the
+    # exact (priority, ord) tie — the reference's serial
+    # incoming-merges-into-stored direction
+    osv3 = spark.createDataFrame(
+        [("OSV-1", ["CVE-100"], "tie osv", "", jan20)], GL_SCHEMA
+    )
+    lin = ingest_advisories(table, {"osv": osv3}, run_seq=3)
+    assert lin["rows_applied"] == 1
+    m = {r["vuln_id"]: r for r in table.read().collect()}["OSV-1"]
+    assert m["summary"] == "tie osv"

@@ -349,3 +349,87 @@ def test_alias_components_matches_union_find_oracle(spark):
             for _, _, i in members:
                 want[i] = leader
         assert got == want, f"seed {seed}"
+
+
+def test_fold_merge_source_ords_and_tiebreak(spark):
+    from vuln_datasync_spark.operators.merge import fold_merge
+
+    df = spark.createDataFrame(
+        [
+            ("K1", "osv", 5, "osv old", 0),
+            ("K1", "osv", 9, "osv new", 1),
+            ("K1", "cve", 7, "cve text", 0),
+        ],
+        "k string, source string, commit_seq long, summary string, _inc int",
+    )
+    out = fold_merge(
+        df, ["k"], ["summary"], [], tiebreak_col="_inc",
+        with_source_ords=True,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["summary"] == "osv new"  # priority osv, then newest ord
+    assert r["sources"] == ["cve", "osv"]
+    assert r["commit_seq"] == 9
+    # per-source max ord, duplicate source rows reduced
+    assert dict(r["source_ords"]) == {"osv": 9, "cve": 7}
+
+    # exact (priority, ord) tie resolves to the higher tiebreak value
+    tie = spark.createDataFrame(
+        [
+            ("K2", "osv", 5, "stored", 0),
+            ("K2", "osv", 5, "incoming", 1),
+        ],
+        "k string, source string, commit_seq long, summary string, _inc int",
+    )
+    r2 = fold_merge(
+        tie, ["k"], ["summary"], [], tiebreak_col="_inc",
+        with_source_ords=True,
+    ).collect()[0]
+    assert r2["summary"] == "incoming"
+    assert dict(r2["source_ords"]) == {"osv": 5}
+
+
+def test_fold_merge_source_ords_with_arrays(spark):
+    from vuln_datasync_spark.operators.merge import fold_merge
+
+    df = spark.createDataFrame(
+        [
+            ("K1", "osv", 3, "s", ["A", "B"]),
+            ("K1", "cve", 8, "", ["B", "C"]),
+        ],
+        "k string, source string, commit_seq long, summary string, "
+        "aliases array<string>",
+    )
+    r = fold_merge(
+        df, ["k"], ["summary"], ["aliases"], with_source_ords=True
+    ).collect()[0]
+    assert r["aliases"] == ["A", "B", "C"]
+    # the array explode duplicates rows; collect_set keeps the map exact
+    assert dict(r["source_ords"]) == {"osv": 3, "cve": 8}
+
+
+def test_alias_components_duplicate_ids_converge(spark, caplog):
+    """Duplicate ids (same vuln_id from two sources) with NO aliases must
+    not stall label propagation: one node per id, loop converges, no
+    'did not converge' warning."""
+    import logging
+
+    from vuln_datasync_spark.operators.merge import alias_components
+
+    df = spark.createDataFrame(
+        [
+            ("V-1", [], "osv", 5),
+            ("V-1", [], "cve", 9),
+            ("V-2", ["CVE-7"], "osv", 1),
+            ("V-3", ["CVE-7"], "cve", 2),
+        ],
+        "vuln_id string, aliases array<string>, source string, "
+        "commit_seq long",
+    )
+    with caplog.at_level(logging.INFO, logger="vuln_datasync_spark.merge"):
+        rows = alias_components(df, max_iters=4).collect()
+    assert not any("did not converge" in r.message for r in caplog.records)
+    got = {r["vuln_id"]: r["_leader"] for r in rows}
+    assert got == {"V-1": "V-1", "V-2": "V-2", "V-3": "V-2"}
+    assert len(rows) == 3  # one row per id, no fan-out duplicates

@@ -118,6 +118,8 @@ def fold_merge(
     array_cols: list[str] | None = None,
     source_col: str = "source",
     order_col: str = "commit_seq",
+    tiebreak_col: str | None = None,
+    with_source_ords: bool = False,
 ) -> DataFrame:
     """N-ary merge: the batch restatement of the reference's SERIAL fold —
     each record merges pairwise into the stored one, so over a whole group
@@ -142,12 +144,29 @@ def fold_merge(
     ``collect_set``/``max``); each output array buffers its group's tagged
     elements (O(total array payload of the group) — elements + two ints,
     never the rows' scalar payloads), then sorts by first occurrence and
-    dedups. The output array itself is the same order-preserving union."""
+    dedups. The output array itself is the same order-preserving union.
+
+    ``tiebreak_col``: optional numeric column breaking exact
+    (priority, order) ties — HIGHER values rank first (the ingest pipeline
+    tags incoming rows 1 / stored rows 0 so a same-source same-timestamp
+    re-publish resolves to the incoming copy, matching the reference's
+    serial incoming-merges-into-stored direction).
+
+    ``with_source_ords=True`` adds a ``source_ords`` map column — each
+    contributing source's own max ``order_col`` — so a store can persist
+    PER-SOURCE recency instead of collapsing the group to one max (which
+    would inflate every source's recency to the group max and make a
+    genuinely fresh re-publish lose the rank to its own stale stored
+    copy). Built from a collect_set of (source, ord) pairs — duplicate-
+    insensitive under the array explode — reduced to max-per-source with
+    an array filter, never a second aggregation pass."""
     array_cols = array_cols or []
     pri = source_priority_col(source_col)
+    rank_fields = [pri.alias("_p"), (-F.col(order_col)).alias("_no")]
+    if tiebreak_col is not None:
+        rank_fields.append((-F.col(tiebreak_col)).alias("_tb"))
     rank_struct = F.struct(
-        pri.alias("_p"),
-        (-F.col(order_col)).alias("_no"),
+        *rank_fields,
         F.struct(
             *[F.col(c) for c in scalar_cols + array_cols + [source_col, order_col]]
         ).alias("_r"),
@@ -170,9 +189,31 @@ def fold_merge(
         F.array_sort(F.collect_set(source_col)).alias("sources"),
         F.max(order_col).alias(order_col),
     ]
+    extra_out: list = []
+    if with_source_ords:
+        base_aggs.append(
+            F.array_sort(
+                F.collect_set(
+                    F.struct(
+                        F.col(source_col).alias("source"),
+                        F.col(order_col).alias("ord"),
+                    )
+                )
+            ).alias("_srcord")
+        )
+        # sorted (source asc, ord asc): the LAST entry of each source run
+        # carries that source's max ord — keep exactly those
+        extra_out.append(
+            F.expr(
+                "map_from_entries(filter(_srcord, (x, i) -> "
+                "i = size(_srcord) - 1 OR _srcord[i+1].source != x.source))"
+            ).alias("source_ords")
+        )
     if not array_cols:
         out = ranked.groupBy(*key_cols).agg(*base_aggs)
-        return out.select(*key_cols, *scalar_cols, "sources", order_col)
+        return out.select(
+            *key_cols, *scalar_cols, "sources", order_col, *extra_out
+        )
 
     elem_types = {
         df.schema[c].dataType.elementType.simpleString() for c in array_cols
@@ -229,7 +270,8 @@ def fold_merge(
     ]
     out = exploded.groupBy(*key_cols).agg(*base_aggs, *array_aggs)
     return out.select(
-        *key_cols, *scalar_cols, *array_cols, "sources", order_col
+        *key_cols, *scalar_cols, *array_cols, "sources", order_col,
+        *extra_out,
     )
 
 
@@ -288,7 +330,17 @@ def alias_components(
         (-F.col(order_col)).alias("_no"),
         F.col(id_col).alias("_id"),
     )
-    nodes = records.select(F.col(id_col).alias("_nid"), label.alias("_lbl"))
+    # ONE node per id: records may carry duplicate ids (the same vuln_id
+    # from two sources is normal ingest input after unionByName) — without
+    # this reduction, alias-less duplicate rows keep distinct initial
+    # labels forever and the loop never converges (all max_iters run, a
+    # spurious warning fires). min() picks each id's best-copy label, the
+    # same (priority, -ord, id) total order every merge pick uses.
+    nodes = (
+        records.select(F.col(id_col).alias("_nid"), label.alias("_lbl"))
+        .groupBy("_nid")
+        .agg(F.min("_lbl").alias("_lbl"))
+    )
     edges = (
         records.select(
             F.col(id_col).alias("_nid"),
@@ -311,18 +363,19 @@ def alias_components(
             .agg(F.min("_albl").alias("_nlbl"))
         )
         # least() skips nulls: records with no (sanitized) aliases keep
-        # their own label
+        # their own label. The convergence flag rides the frame so the
+        # count below is the SAME job that materializes the cache — no
+        # second join against the previous iteration, one action total.
         new_nodes = (
             nodes.join(node_min, "_nid", "left")
-            .select("_nid", F.least("_lbl", "_nlbl").alias("_lbl"))
+            .select(
+                "_nid",
+                F.least("_lbl", "_nlbl").alias("_lbl"),
+                (F.col("_nlbl") < F.col("_lbl")).alias("_chg"),
+            )
             .persist()
         )
-        changed = (
-            new_nodes.alias("n")
-            .join(nodes.alias("o"), "_nid")
-            .filter(F.col("n._lbl") != F.col("o._lbl"))
-            .count()
-        )
+        changed = new_nodes.filter(F.col("_chg")).count()
         nodes.unpersist()
         nodes = new_nodes
         if changed == 0:
@@ -405,6 +458,8 @@ def merge_by_alias_overlap(
     source_col: str = "source",
     order_col: str = "commit_seq",
     max_closure_iters: int = 10,
+    tiebreak_col: str | None = None,
+    with_source_ords: bool = False,
 ) -> DataFrame:
     """The reference's full cross-source merge flow, alias-keyed: find the
     existing record each incoming one overlaps (FindMatchingVulnerability,
@@ -462,9 +517,18 @@ def merge_by_alias_overlap(
     )
     ex_keyed = existing.withColumn("_mk", F.col(id_col))
     keep = ["_mk", source_col, order_col, *scalar_cols, *array_cols]
+    if tiebreak_col is not None:
+        keep.append(tiebreak_col)
     both = inc_keyed.select(*keep).unionByName(ex_keyed.select(*keep))
     merged = fold_merge(
-        both, ["_mk"], scalar_cols, array_cols, source_col, order_col
+        both,
+        ["_mk"],
+        scalar_cols,
+        array_cols,
+        source_col,
+        order_col,
+        tiebreak_col=tiebreak_col,
+        with_source_ords=with_source_ords,
     )
     return merged.withColumnRenamed("_mk", id_col)
 

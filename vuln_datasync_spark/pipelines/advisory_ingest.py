@@ -142,19 +142,44 @@ def ingest_advisories(
     for name, df in by_source.items():
         c = to_canonical(df, name)
         inc = c if inc is None else inc.unionByName(c)
+    # rank tiebreak: at exactly equal (priority, recency) the INCOMING
+    # copy must win the fold (the reference merges each incoming record
+    # INTO the stored one — its values take effect for its source)
+    inc = inc.withColumn("_inc", F.lit(1))
 
     stored = table.read()
     have_store = "sources" in stored.columns
     if have_store:
-        # one row per provenance source: fold_merge's aggregation is
-        # duplicate-insensitive, so the merged record reconstructs the
-        # full source set and the alias window still picks one best match
+        # one row per provenance source, each carrying that source's OWN
+        # recency from the persisted source_ords map (fold_merge's
+        # aggregation is duplicate-insensitive, so the merged record
+        # reconstructs the full source set and the alias window still
+        # picks one best match). Exploding the group-max _ORD instead
+        # would inflate every source's recency to the group max: a
+        # source's genuinely fresh update whose own timestamp sits below
+        # that max would lose the rank to its own stale stored copy and
+        # the unchanged-hash skip would silently drop it. Rows persisted
+        # before the map existed (schema evolution) fall back to the
+        # group max — the legacy behavior, self-healing on first rewrite.
+        if "source_ords" in stored.columns:
+            src_ords = F.coalesce(
+                F.col("source_ords"),
+                F.map_from_arrays(
+                    F.col("sources"),
+                    F.array_repeat(F.col(_ORD), F.size("sources")),
+                ),
+            )
+        else:
+            src_ords = F.map_from_arrays(
+                F.col("sources"),
+                F.array_repeat(F.col(_ORD), F.size("sources")),
+            )
         existing_all = stored.select(
             "vuln_id",
             *CANON_SCALARS,
             *CANON_ARRAYS,
-            F.col(_ORD),
-            F.explode("sources").alias("source"),
+            F.explode(src_ords).alias("source", _ORD),
+            F.lit(0).alias("_inc"),
         )
         # restrict the merge to stored records the batch can actually
         # touch: alias-matched ones plus direct id collisions (an incoming
@@ -183,6 +208,8 @@ def ingest_advisories(
         scalar_cols=CANON_SCALARS,
         array_cols=CANON_ARRAYS,
         order_col=_ORD,
+        tiebreak_col="_inc",
+        with_source_ords=True,
     ).withColumn("data_hash", _data_hash())
 
     if have_store:
