@@ -25,6 +25,9 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
+_RESERVED = ("_ord", "_side", "_rv", "_lv", "_carry")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -34,6 +37,7 @@ def asof_join(
     right_cols: list[str],
     suffix: str = "_asof",
     strict: bool = False,
+    dedupe_right: bool = False,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row plus the payload of the latest
     ``right`` row with ``right_ord <= left_ord`` (``<`` when ``strict``)
@@ -42,8 +46,40 @@ def asof_join(
 
     ``(on, right_ord)`` should uniquely identify right rows: duplicates at
     the same key and order value tie in the window sort, and which of them
-    is carried is unspecified (dedupe the right side first if that
-    matters)."""
+    is carried is unspecified. ``dedupe_right=True`` applies the
+    deterministic resolution first — keep the max ``right_cols`` payload
+    per (key, order) — so callers get a defined carry without pre-cleaning
+    (one extra window over the right side, same (key) partitioning).
+
+    The internal spine columns are reserved: inputs using one of
+    ``_ord/_side/_rv/_lv/_carry``, or whose output names would collide
+    (a left column equal to some ``{right_col}{suffix}``), raise
+    ``ValueError`` up front instead of producing ambiguous or silently
+    wrong carries."""
+    clash_l = sorted(set(left.columns) & set(_RESERVED))
+    clash_r = sorted(set(right.columns) & set(_RESERVED))
+    if clash_l or clash_r:
+        raise ValueError(
+            f"asof_join reserved column names in input: "
+            f"left={clash_l} right={clash_r} (reserved: {list(_RESERVED)})"
+        )
+    out_clash = sorted(
+        {f"{c}{suffix}" for c in right_cols} & set(left.columns)
+    )
+    if out_clash:
+        raise ValueError(
+            f"asof_join output name collision: {out_clash} already exist "
+            f"in left (pick a different suffix)"
+        )
+    if dedupe_right:
+        wd = W.partitionBy(*on, right_ord).orderBy(
+            F.desc(F.struct(*[F.col(c) for c in right_cols]))
+        )
+        right = (
+            right.withColumn("_rn_dedupe", F.row_number().over(wd))
+            .filter(F.col("_rn_dedupe") == 1)
+            .drop("_rn_dedupe")
+        )
     lv = F.struct(*[F.col(c) for c in left.columns]).alias("_lv")
     rv = F.struct(*[F.col(c) for c in right_cols]).alias("_rv")
     right_side, left_side = (1, 0) if strict else (0, 1)
