@@ -87,3 +87,60 @@ def test_crash_after_sink_commit_is_exactly_once(spark, tmp_path):
     assert replays[0][0] == 0 and replays[0][1] is None
     assert all(lin is not None for _, lin in replays[1:])
     assert_state_matches(table, ev)
+
+
+def test_install_graceful_stop_off_main_thread_is_noop(spark):
+    """Library callers may run streams off the main thread — the installer
+    must warn and skip, never raise ValueError."""
+    import threading
+
+    from vuln_datasync_spark.streaming.pipeline import install_graceful_stop
+
+    class _FakeQuery:
+        def stop(self):
+            pass
+
+    result = {}
+
+    def run():
+        result["state"] = install_graceful_stop(_FakeQuery())
+
+    t = threading.Thread(target=run)
+    t.start()
+    t.join()
+    assert result["state"]["installed"] is False
+    assert result["state"]["signal"] is None
+    result["state"]["restore"]()  # no-op, must not raise
+
+
+def test_install_graceful_stop_saves_and_restores_handlers():
+    """On the main thread: previous handlers are chained and restored."""
+    import signal
+
+    from vuln_datasync_spark.streaming.pipeline import install_graceful_stop
+
+    seen = []
+
+    def host_handler(signum, frame):
+        seen.append(signum)
+
+    old = signal.signal(signal.SIGTERM, host_handler)
+    try:
+        class _FakeQuery:
+            stopped = False
+
+            def stop(self):
+                _FakeQuery.stopped = True
+
+        state = install_graceful_stop(_FakeQuery())
+        assert state["installed"] is True
+        installed = signal.getsignal(signal.SIGTERM)
+        assert installed is not host_handler
+        # deliver: our handler schedules the stop AND chains the host's
+        installed(signal.SIGTERM, None)
+        assert state["signal"] == signal.SIGTERM
+        assert seen == [signal.SIGTERM]
+        state["restore"]()
+        assert signal.getsignal(signal.SIGTERM) is host_handler
+    finally:
+        signal.signal(signal.SIGTERM, old)

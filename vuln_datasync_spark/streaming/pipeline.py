@@ -16,6 +16,7 @@ op) merge condition — a replayed batch commits nothing (SURVEY.md §7.3 #1).
 from __future__ import annotations
 
 import hashlib
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,6 +26,8 @@ from pyspark.sql.observation import Observation
 from ..functions.normalize import normalize_events
 from ..operators.lww import lww_resolve
 from ..sinks.manifest_table import ManifestTable
+
+logger = logging.getLogger("vuln_datasync_spark.streaming")
 
 
 # ordkey-vs-window crossover (measured at 1M/4M events, 4/8/32 threads):
@@ -136,13 +139,34 @@ def install_graceful_stop(query) -> dict:
     Returns a dict whose 'signal' key records the delivered signal (None if
     the stream ended on its own). The sink's epoch tagging makes a batch
     interrupted mid-merge safe: it either committed (replay skipped on
-    resume) or it didn't (re-run on resume)."""
+    resume) or it didn't (re-run on resume).
+
+    CPython only allows signal handler installation on the MAIN thread —
+    called from anywhere else (embedded/library callers, notebook
+    executors) this warns, marks ``state['installed'] = False`` and
+    installs nothing rather than raising ValueError. The host's previous
+    handlers are saved, CHAINED after the stop is scheduled (a host that
+    also wants the signal still sees it), and restorable via
+    ``state['restore']()`` — ``run_stream`` restores them once the query
+    terminates, so a library call doesn't permanently hijack the
+    process's signal disposition."""
     import signal
     import threading
 
-    state: dict = {"signal": None}
+    state: dict = {"signal": None, "installed": False, "restore": lambda: None}
+    if threading.current_thread() is not threading.main_thread():
+        logger.warning(
+            "install_graceful_stop: not on the main thread — signal "
+            "handlers cannot be installed; stream will not drain on "
+            "SIGINT/SIGTERM"
+        )
+        return state
 
-    def _handler(signum, _frame):
+    previous = {
+        s: signal.getsignal(s) for s in (signal.SIGINT, signal.SIGTERM)
+    }
+
+    def _handler(signum, frame):
         state["signal"] = signum
 
         def _stop():
@@ -152,9 +176,25 @@ def install_graceful_stop(query) -> dict:
                 pass
 
         threading.Thread(target=_stop, daemon=True).start()
+        prev = previous.get(signum)
+        # chain a host-installed handler; NOT Python's default SIGINT
+        # handler — that raises KeyboardInterrupt and would abort the
+        # drain this handler exists to provide
+        if callable(prev) and prev is not signal.default_int_handler:
+            prev(signum, frame)
 
-    for s in (signal.SIGINT, signal.SIGTERM):
+    def _restore():
+        if not state["installed"]:
+            return
+        for s, h in previous.items():
+            if signal.getsignal(s) is _handler:
+                signal.signal(s, h)
+        state["installed"] = False
+
+    for s in previous:
         signal.signal(s, _handler)
+    state["installed"] = True
+    state["restore"] = _restore
     return state
 
 
@@ -219,11 +259,16 @@ def run_stream(
     else:
         writer = writer.trigger(availableNow=True)
     query = writer.start()
+    stop_state = None
     if graceful_stop:
         # install BEFORE any early return: a caller managing the query
         # object itself still asked for signal-drain semantics
-        install_graceful_stop(query)
+        stop_state = install_graceful_stop(query)
     if not await_termination:
         return table, query
-    query.awaitTermination()
+    try:
+        query.awaitTermination()
+    finally:
+        if stop_state is not None:
+            stop_state["restore"]()
     return table
