@@ -433,3 +433,48 @@ def test_alias_components_duplicate_ids_converge(spark, caplog):
     got = {r["vuln_id"]: r["_leader"] for r in rows}
     assert got == {"V-1": "V-1", "V-2": "V-2", "V-3": "V-2"}
     assert len(rows) == 3  # one row per id, no fan-out duplicates
+
+
+def test_export_run_tracking(spark, tmp_path, capsys, monkeypatch):
+    """Every export is recorded in the table's _exports run log (reference
+    exports table, migrations/001_initial_schema.up.sql:95-108), surfaced
+    by `stats`, and covered by compaction."""
+    import json as _json
+
+    from vuln_datasync_spark import cli
+    from vuln_datasync_spark.sinks.export import export_table
+    from vuln_datasync_spark.sinks.manifest_table import ManifestTable
+
+    root = str(tmp_path / "tbl")
+    table = ManifestTable.create(
+        spark, root, n_buckets=2, key_cols=("vuln_id",)
+    )
+    df = spark.createDataFrame(
+        [("V-1", 1, "c1", "insert"), ("V-2", 2, "c2", "insert")],
+        "vuln_id string, commit_seq long, commit string, op string",
+    )
+    table.merge(df, checkpoint_id="t", batch_id=0)
+
+    rec = export_table(table, str(tmp_path / "out1"), fmt="json")
+    assert rec["status"] == "completed" and rec["rows"] == 2
+    assert rec["file_bytes"] > 0
+    export_table(table, str(tmp_path / "out2"), fmt="csv", compression=True)
+
+    runs = {r["export_id"]: r for r in table.read_exports().collect()}
+    assert len(runs) == 2
+    formats = {r["format"] for r in runs.values()}
+    assert formats == {"json", "csv"}
+    assert all(r["snapshot_id"] == table.current_snapshot_id()
+               for r in runs.values())
+
+    # stats surfaces the runs
+    monkeypatch.setattr(cli, "_spark", lambda args: spark)
+    assert cli.main(["stats", "--table", root]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["exports"] == 2
+    assert out["last_export"]["format"] in ("json", "csv")
+
+    # compaction folds the per-run files into one, rows preserved
+    res = table.compact_exports(max_files=1)
+    assert res["compacted"] == 2 and res["files_after"] == 1
+    assert table.read_exports().count() == 2

@@ -105,16 +105,30 @@ def cmd_stats(args) -> int:
     spark = _spark(args)
     table = ManifestTable(spark, args.table)
     df = table.read(include_tombstones=True)
+    # distinct-count the table's first key column (repo for the CDC
+    # schema, vuln_id for advisory tables) — stats works on any keying
+    key0 = table.key_cols[0]
     row = df.agg(
         F.count("*").alias("rows"),
         F.count(F.when(F.col("is_deleted"), 1)).alias("tombstones"),
-        F.countDistinct("repo").alias("repos"),
+        F.countDistinct(key0).alias(f"distinct_{key0}"),
         F.max("commit_seq").alias("max_seq"),
     ).first()
     out = dict(row.asDict())
     out["snapshots"] = len(table.snapshots())
     lineage = table.read_lineage()
     out["batches_applied"] = lineage.select("checkpoint_id", "batch_id").distinct().count()
+    exports = table.read_exports()
+    out["exports"] = exports.count()
+    if out["exports"]:
+        last = exports.orderBy(F.desc("exported_at"), F.desc("export_id")).first()
+        out["last_export"] = {
+            "export_id": last["export_id"],
+            "format": last["format"],
+            "rows": last["rows"],
+            "snapshot_id": last["snapshot_id"],
+            "exported_at": last["exported_at"],
+        }
     print(json.dumps(out, default=str))
     return 0
 
@@ -131,6 +145,9 @@ def cmd_compact(args) -> int:
     if args.expire_lineage_before:
         out["lineage_expire"] = table.expire_lineage(args.expire_lineage_before)
     out["lineage_compact"] = table.compact_lineage(
+        max_files=args.lineage_max_files
+    )
+    out["exports_compact"] = table.compact_exports(
         max_files=args.lineage_max_files
     )
     print(json.dumps(out))

@@ -25,9 +25,22 @@ def export_table(
     compression: bool = False,
     snapshot_id: str | None = None,
 ) -> dict:
-    """Export a table snapshot to JSON/CSV. Returns the export record."""
+    """Export a table snapshot to JSON/CSV. Returns the export record,
+    which is also appended to the table's ``_exports`` run log (reference
+    ``exports`` table analog) so `stats` can account for every export —
+    the merge path has lineage, the export path has this."""
     df = table.read(snapshot_id=snapshot_id)
-    return export_df(df, out_dir, fmt, compression, snapshot_id or table.current_snapshot_id())
+    record = export_df(
+        df, out_dir, fmt, compression,
+        snapshot_id or table.current_snapshot_id(),
+    )
+    record["file_bytes"] = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(out_dir)
+        for f in fs
+        if not f.startswith("_") and not f.startswith(".")
+    )
+    return table.record_export(record)
 
 
 def export_df(

@@ -58,6 +58,11 @@ LINEAGE_DDL = (
     "snapshot_id string, checkpoint_id string, batch_id long, bucket long, "
     "seq_start long, seq_end long, rows_applied long, committed_at string"
 )
+EXPORT_DDL = (
+    "export_id string, format string, compression boolean, rows long, "
+    "file_bytes long, snapshot_id string, path string, status string, "
+    "exported_at string"
+)
 META_COLS = ("is_deleted",)
 
 # type-widening lattice (Iceberg-compatible promotions)
@@ -549,18 +554,33 @@ class ManifestTable:
         consumers (stats, resume checks) key on (checkpoint_id, batch_id),
         for which duplicates are idempotent.
         """
+        return self._compact_small_files(
+            "_lineage",
+            dedup_subset=["snapshot_id", "checkpoint_id", "batch_id",
+                          "bucket"],
+            sort_keys=["snapshot_id", "bucket"],
+            max_files=max_files,
+        )
+
+    def _compact_small_files(
+        self,
+        subdir: str,
+        dedup_subset: list[str],
+        sort_keys: list[str],
+        max_files: int,
+    ) -> dict:
         import pandas as pd
 
-        ldir = os.path.join(self.root, "_lineage")
+        ldir = os.path.join(self.root, subdir)
         files = sorted(glob.glob(os.path.join(ldir, "*.parquet")))
         if len(files) <= max_files:
             return {"compacted": 0, "files_before": len(files),
                     "files_after": len(files)}
         merged = pd.concat([pd.read_parquet(f) for f in files],
                            ignore_index=True)
-        merged = merged.drop_duplicates(
-            subset=["snapshot_id", "checkpoint_id", "batch_id", "bucket"]
-        ).sort_values(["snapshot_id", "bucket"])
+        merged = merged.drop_duplicates(subset=dedup_subset).sort_values(
+            sort_keys
+        )
         out = os.path.join(
             ldir, f"compacted-{int(time.time() * 1000):013d}.parquet"
         )
@@ -569,10 +589,58 @@ class ManifestTable:
         for f in files:
             os.remove(f)
         logger.info(
-            "compact_lineage: %d files -> 1 (%d rows)", len(files), len(merged)
+            "compact %s: %d files -> 1 (%d rows)",
+            subdir, len(files), len(merged),
         )
         return {"compacted": len(files), "files_before": len(files),
                 "files_after": 1, "rows": int(len(merged))}
+
+    # ---------- export-run tracking ----------
+
+    def record_export(self, record: dict) -> dict:
+        """Record an export run next to the merge lineage (reference
+        ``exports`` table: migrations/001_initial_schema.up.sql:95-108,
+        written by internal/jobs/server.go:544-588 — id, type, status,
+        file path/size, record count, timestamps). One tiny parquet per
+        run under ``_exports/``, tmp+rename like ``_append_lineage``;
+        ``compact_exports`` bounds the file count."""
+        import pandas as pd
+
+        edir = os.path.join(self.root, "_exports")
+        os.makedirs(edir, exist_ok=True)
+        export_id = f"exp-{int(time.time() * 1000):013d}-{os.getpid()}"
+        row = {
+            "export_id": export_id,
+            "format": record.get("format"),
+            "compression": bool(record.get("compression")),
+            "rows": int(record.get("rows") or 0),
+            "file_bytes": int(record.get("file_bytes") or 0),
+            "snapshot_id": record.get("snapshot_id"),
+            "path": record.get("path"),
+            "status": record.get("status", "completed"),
+            "exported_at": record.get("exported_at")
+            or time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        out = os.path.join(edir, f"{export_id}.parquet")
+        pd.DataFrame([row]).to_parquet(out + ".tmp", index=False)
+        os.replace(out + ".tmp", out)
+        return row
+
+    def read_exports(self) -> DataFrame:
+        edir = os.path.join(self.root, "_exports")
+        if not glob.glob(os.path.join(edir, "*.parquet")):
+            return self.spark.createDataFrame(
+                [], T.StructType.fromDDL(EXPORT_DDL)
+            )
+        return self.spark.read.parquet(edir)
+
+    def compact_exports(self, max_files: int = 64) -> dict:
+        return self._compact_small_files(
+            "_exports",
+            dedup_subset=["export_id"],
+            sort_keys=["export_id"],
+            max_files=max_files,
+        )
 
     def expire_lineage(self, older_than: str) -> dict:
         """Drop lineage rows with ``committed_at`` before ``older_than``
