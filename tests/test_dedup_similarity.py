@@ -211,3 +211,75 @@ def test_default_caps_fire_without_opt_in(spark):
         boiler.unionByName(pair), "text", "doc_id"
     ).collect()
     assert {(r["id_a"], r["id_b"]) for r in got} == {(990001, 990002)}
+
+
+def test_ann_index_upsert_incremental(spark, tmp_path):
+    """Build from half the corpus, upsert the remainder + a re-published
+    id: queries must equal a full rebuild, and partitions the delta does
+    NOT touch must keep byte-identical files (no full rewrite)."""
+    import glob as _glob
+    import os as _os
+
+    from vuln_datasync_spark.operators.similarity import (
+        ann_index_topk,
+        build_ann_index,
+        upsert_ann_index,
+    )
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 7).head()["embedding"]]
+    half = e.filter(F.col("vec_id") % 2 == 0)
+    rest = e.filter(F.col("vec_id") % 2 == 1)
+
+    idx = str(tmp_path / "idx")
+    full_idx = str(tmp_path / "full")
+    build_ann_index(half, "embedding", "vec_id", 64, idx)
+    build_ann_index(e, "embedding", "vec_id", 64, full_idx)
+
+    def _snapshot(path):
+        out = {}
+        for f in _glob.glob(f"{path}/band=*/bucket=*/*.parquet"):
+            with open(f, "rb") as fh:
+                out[_os.path.relpath(f, path)] = fh.read()
+        return out
+
+    res = upsert_ann_index(rest, "embedding", "vec_id", 64, idx)
+    assert res["touched_partitions"] > 0
+
+    # upserted index answers like a full rebuild
+    got = [(r["id"], r["cosine"]) for r in
+           ann_index_topk(spark, idx, q, k=10).collect()]
+    want = [(r["id"], r["cosine"]) for r in
+            ann_index_topk(spark, full_idx, q, k=10).collect()]
+    assert got == want
+
+    # re-publish ONE id with a DIFFERENT vector: only its <=4 (band,
+    # bucket) cells are rewritten; every other partition's files stay
+    # byte-identical, and the old copy is replaced
+    before = _snapshot(idx)
+    new_vec = [float(x) for x in q]
+    repub = spark.createDataFrame([(3, new_vec)],
+                                  "vec_id long, embedding array<double>")
+    res2 = upsert_ann_index(repub, "embedding", "vec_id", 64, idx)
+    # <= 4 cells for the new signature + <= 4 for the old one (sidecar)
+    assert res2["touched_partitions"] <= 8
+    assert res2["touched_id_buckets"] == 1
+    after = _snapshot(idx)
+    touched_dirs = set()
+    for rel in set(before) | set(after):
+        if before.get(rel) != after.get(rel):
+            touched_dirs.add(_os.path.dirname(rel))
+    all_dirs = {_os.path.dirname(rel) for rel in after}
+    untouched = all_dirs - touched_dirs
+    assert len(touched_dirs) <= 8, touched_dirs
+    assert untouched, "expected some partitions to stay untouched"
+    for rel in before:
+        if _os.path.dirname(rel) in untouched:
+            assert after[rel] == before[rel]
+
+    idx_df = spark.read.parquet(idx)
+    rows3 = idx_df.filter(F.col("id") == 3).collect()
+    assert rows3, "re-published id missing"
+    assert all(list(r["vec"]) == new_vec for r in rows3)
+    # exactly one row per band for the re-published id (no stale copies)
+    assert len(rows3) == 4

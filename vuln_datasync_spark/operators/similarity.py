@@ -21,11 +21,15 @@
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+logger = logging.getLogger("vuln_datasync_spark.similarity")
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -221,20 +225,198 @@ def build_ann_index(
     (one pass over the vectors), and a query then touches only its own
     ``band=*/bucket=*`` directories via partition pruning — file I/O ∝
     candidate count, not table size. Without this, every query recomputes
-    signatures over the full table (the r01 ann_lsh_topk weakness)."""
-    with_sig = hyperplane_signature(df, vec_col, dim, n_planes, seed)
-    rows = with_sig.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.posexplode(F.array(*_band_cols("lsh_sig", n_planes, bands))).alias(
-            "band", "bucket"
-        ),
-    )
+    signatures over the full table (the r01 ann_lsh_topk weakness).
+
+    A sidecar ``_ids/`` dataset (id, lsh_sig), hash-partitioned on the id
+    into ``_N_ID_BUCKETS`` cells, records every id's CURRENT signature —
+    ``upsert_ann_index`` reads only the delta's id-hash cells from it to
+    locate (and clear) the old copies of re-published ids whose vectors
+    changed. The underscore prefix keeps Spark's main-index reads from
+    seeing it."""
+    with_sig = _with_sig(df, vec_col, id_col, dim, n_planes, seed)
+    rows = _index_rows(with_sig, n_planes, bands)
     # one file per (band, bucket) cell at this scale; at 10^10 rows the
     # same layout just has more files per cell
     rows.repartition("band", "bucket").write.partitionBy(
         "band", "bucket"
     ).mode("overwrite").parquet(out_path)
+    _sidecar_rows(with_sig).repartition("id_bucket").write.partitionBy(
+        "id_bucket"
+    ).mode("overwrite").parquet(_sidecar_path(out_path))
+
+
+_N_ID_BUCKETS = 256
+
+
+def _sidecar_path(out_path: str) -> str:
+    import os
+
+    return os.path.join(out_path, "_ids")
+
+
+def _with_sig(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    n_planes: int,
+    seed: int,
+) -> DataFrame:
+    return hyperplane_signature(df, vec_col, dim, n_planes, seed).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        "lsh_sig",
+    )
+
+
+def _index_rows(with_sig: DataFrame, n_planes: int, bands: int) -> DataFrame:
+    return with_sig.select(
+        "id",
+        "vec",
+        F.posexplode(
+            F.array(*_band_cols("lsh_sig", n_planes, bands))
+        ).alias("band", "bucket"),
+    )
+
+
+def _sidecar_rows(with_sig: DataFrame) -> DataFrame:
+    return with_sig.select(
+        "id",
+        "lsh_sig",
+        F.pmod(F.xxhash64("id"), F.lit(_N_ID_BUCKETS)).alias("id_bucket"),
+    )
+
+
+def upsert_ann_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    out_path: str,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    max_static_filter: int = 100_000,
+) -> dict:
+    """Incremental index maintenance: fold a delta of vectors into an
+    existing index by rewriting ONLY the (band, bucket) partitions the
+    delta touches — a streaming corpus never pays a full rebuild
+    (reference analog: incremental sync since-watermark,
+    /root/reference/sql/vulnerabilities.sql:128-132). Re-published ids
+    are replaced within their touched partitions (upsert, not append).
+
+    Plan: signature the delta once (same construction as
+    ``build_ann_index``); look up the delta ids' PREVIOUS signatures in
+    the ``_ids/`` sidecar reading only their id-hash partitions (a
+    re-published vector whose signature changed has stale copies in its
+    OLD (band, bucket) cells — cells the new signature alone would never
+    visit); take touched = new cells ∪ old cells; read back only those
+    partitions (static per-band bucket-IN filters while the touched set
+    is collectable, a broadcast join on the partition columns past
+    ``max_static_filter`` — runtime DPP prunes directories there);
+    anti-join out every copy of the delta's ids; union the delta; write
+    with DYNAMIC partition overwrite so untouched partitions' files are
+    never rewritten (their bytes stay identical). The sidecar's touched
+    id-hash partitions are upserted the same way. The rewrite
+    re-coalesces each touched cell — upsert is self-compacting, no
+    separate small-file hook needed. I/O ∝ touched-partition volume,
+    never table size."""
+    import glob as _glob
+
+    spark = df.sparkSession
+    existing = spark.read.parquet(out_path)
+    # a delta with a different element type (float vs double vectors)
+    # must not corrupt the index with mixed parquet schemas
+    vec_type = existing.schema["vec"].dataType.simpleString()
+    with_sig = (
+        _with_sig(df, vec_col, id_col, dim, n_planes, seed)
+        .withColumn("vec", F.col("vec").cast(vec_type))
+        .localCheckpoint(eager=True)
+    )  # delta signatures computed once: index rows, sidecar, old-sig probe
+    new_rows = _index_rows(with_sig, n_planes, bands)
+    new_sidecar = _sidecar_rows(with_sig)
+    delta_ids = with_sig.select("id").distinct()
+
+    # previous signatures of re-published ids — read ONLY the delta's
+    # id-hash cells of the sidecar
+    side_path = _sidecar_path(out_path)
+    have_sidecar = bool(_glob.glob(f"{side_path}/id_bucket=*"))
+    old_cells = None
+    touched_id_buckets: list[int] = []
+    if have_sidecar:
+        touched_id_buckets = sorted(
+            r["id_bucket"]
+            for r in new_sidecar.select("id_bucket").distinct().collect()
+        )
+        side = spark.read.parquet(side_path).filter(
+            F.col("id_bucket").isin(touched_id_buckets)
+        )
+        old_sigs = side.join(delta_ids, "id", "left_semi")
+        old_cells = old_sigs.select(
+            F.posexplode(
+                F.array(*_band_cols("lsh_sig", n_planes, bands))
+            ).alias("band", "bucket")
+        )
+    else:
+        logger.warning(
+            "upsert_ann_index: %s has no _ids sidecar (pre-sidecar build?) "
+            "— re-published ids with changed vectors may leave stale "
+            "copies in their old cells; rebuild to get full upsert "
+            "semantics",
+            out_path,
+        )
+
+    cells = new_rows.select("band", "bucket")
+    if old_cells is not None:
+        cells = cells.unionByName(old_cells)
+    touched = [
+        (r["band"], r["bucket"]) for r in cells.distinct().collect()
+    ]
+    if len(touched) <= max_static_filter:
+        by_band: dict[int, list[int]] = {}
+        for band, bucket in touched:
+            by_band.setdefault(band, []).append(bucket)
+        cond = None
+        for band, buckets in sorted(by_band.items()):
+            c = (F.col("band") == band) & F.col("bucket").isin(buckets)
+            cond = c if cond is None else (cond | c)
+        existing = existing.filter(cond)
+    else:
+        tdf = cells.distinct()
+        existing = existing.join(F.broadcast(tdf), ["band", "bucket"])
+    kept = existing.join(delta_ids, "id", "left_anti").select(
+        "id", "vec", "band", "bucket"
+    )
+    merged = (
+        kept.unionByName(new_rows.select("id", "vec", "band", "bucket"))
+        # break the read-path dependency: the write below overwrites
+        # partitions this plan reads
+        .localCheckpoint(eager=True)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.repartition("band", "bucket").write.partitionBy(
+            "band", "bucket"
+        ).mode("overwrite").parquet(out_path)
+        if have_sidecar:
+            side_kept = (
+                spark.read.parquet(side_path)
+                .filter(F.col("id_bucket").isin(touched_id_buckets))
+                .join(delta_ids, "id", "left_anti")
+            )
+            side_merged = side_kept.unionByName(
+                new_sidecar
+            ).localCheckpoint(eager=True)
+            side_merged.repartition("id_bucket").write.partitionBy(
+                "id_bucket"
+            ).mode("overwrite").parquet(side_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {
+        "touched_partitions": len(touched),
+        "touched_id_buckets": len(touched_id_buckets),
+    }
 
 
 def ann_index_topk(

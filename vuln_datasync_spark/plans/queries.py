@@ -1995,6 +1995,62 @@ def sim_ann_index(spark, sf):
 
 
 @q(
+    "sim_ann_upsert_topk",
+    "similarity: INCREMENTAL index maintenance — build from half the "
+    "corpus, upsert_ann_index folds the other half in by rewriting only "
+    "touched (band,bucket) partitions; the result must equal a full "
+    "rebuild (operators/similarity.py upsert_ann_index)",
+    f"""WITH {_SIGS_SQL},
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        qs AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0),
+        cand AS (
+          SELECT e.vec_id, e.embedding
+          FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id CROSS JOIN qs
+          WHERE ((s.sig >> 0) & 15) = ((qs.qsig >> 0) & 15)
+             OR ((s.sig >> 4) & 15) = ((qs.qsig >> 4) & 15)
+             OR ((s.sig >> 8) & 15) = ((qs.qsig >> 8) & 15)
+             OR ((s.sig >> 12) & 15) = ((qs.qsig >> 12) & 15))
+        SELECT vec_id AS id,
+               round({_DOT_SQL.format(a="embedding", b="qv")}
+                     / (sqrt({_DOT_SQL.format(a="embedding", b="embedding")})
+                        * sqrt({_DOT_SQL.format(a="qv", b="qv")})), 6) + 0.0
+                   AS cosine
+        FROM cand, q ORDER BY cosine DESC, vec_id LIMIT 10""",
+    note="the oracle is the FULL-corpus LSH result: build(evens) + "
+    "upsert(odds) must be indistinguishable from build(all) — a stale or "
+    "missing row in any touched partition hash-mismatches",
+)
+def sim_ann_upsert(spark, sf):
+    import hashlib as _h
+    import os as _os
+
+    from ..operators.similarity import (
+        ann_index_topk,
+        build_ann_index,
+        upsert_ann_index,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    idx = _os.path.join(
+        "/tmp",
+        "vds_ann_upsert_" + _h.sha256(sf.encode()).hexdigest()[:12],
+    )
+    sentinel = _os.path.join(idx, "_UPSERT_DONE")
+    if not _os.path.exists(sentinel):
+        build_ann_index(
+            e.filter(F.col("vec_id") % 2 == 0),
+            "embedding", "vec_id", dim=64, out_path=idx,
+        )
+        upsert_ann_index(
+            e.filter(F.col("vec_id") % 2 == 1),
+            "embedding", "vec_id", dim=64, out_path=idx,
+        )
+        with open(sentinel, "w") as fh:
+            fh.write("ok")
+    return ann_index_topk(spark, idx, _query_vec(spark, sf), k=10)
+
+
+@q(
     "dd_minhash_capped",
     "hot-bucket cap semantics under the (now default) bounded mode: a "
     "planted clone family over the cap is dropped wholesale; a small "
@@ -2372,6 +2428,8 @@ _DRIVER_PRIORITY = [
     "decon_contamination",
     "tx_tfidf_top_terms",
     "j8_asof_join",
+    # new this round — needs its first driver row
+    "sim_ann_upsert_topk",
     # load-bearing keepers (driver-attested in r02+r03; stay in the window)
     "q1_tpch_pricing_summary",
     "j1_priority_dedup_join",
@@ -2402,7 +2460,6 @@ _DRIVER_PRIORITY = [
     "a4_multi_metric_stats",
     "a5_state_pivot_counts",
     "a7_array_dedup_union",
-    "p9_recency_filter",
 ]
 
 
