@@ -229,3 +229,102 @@ def test_ingest_per_source_recency_not_inflated_by_group_max(spark, tmp_path):
     assert lin["rows_applied"] == 1
     m = {r["vuln_id"]: r for r in table.read().collect()}["OSV-1"]
     assert m["summary"] == "tie osv"
+
+
+def test_advisory_stream_resume_matches_batch(spark, tmp_path):
+    """The sync pipeline as a resumable micro-batch tail: two batches with
+    overlapping aliases, a crash between sink commit and checkpoint
+    commit, resume — final store equals the batch pipeline's result and
+    the interrupted batch replays as a no-op (exactly-once)."""
+    import pandas as pd
+    import pytest
+
+    from vuln_datasync_spark.pipelines.advisory_ingest import (
+        ingest_canonical,
+        run_advisory_stream,
+        to_canonical,
+    )
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+
+    def _write(name, rows):
+        # explicit arrow schema: empty lists / sparse columns must not
+        # infer a non-string element type
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cols = [
+            "vuln_id", "source", "summary", "details", "severity",
+            "package_name", "ecosystem", "aliases",
+            "affected_versions", "fixed_versions", "modified_at",
+        ]
+        schema = pa.schema(
+            [pa.field(c, pa.string()) for c in cols[:7]]
+            + [pa.field(c, pa.list_(pa.string())) for c in cols[7:10]]
+            + [pa.field("modified_at", pa.timestamp("us"))]
+        )
+        df = pd.DataFrame(rows, columns=cols)
+        pq.write_table(
+            pa.Table.from_pandas(df, schema=schema, preserve_index=False),
+            incoming / name,
+        )
+
+    b1 = [("OSV-1", "osv", "one", "", "high", "pkg", "npm",
+           ["CVE-5"], [], [], pd.Timestamp("2026-01-01"))]
+    b2 = [("G-1", "gitlab", "", "two", "low", "pkg", "npm",
+           ["CVE-5", "GHSA-2"], [], ["2.0"], pd.Timestamp("2026-01-02"))]
+    _write("b1.parquet", b1)
+    _write("b2.parquet", b2)
+
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    seen = []
+
+    def crash_after_first(batch_id, lineage):
+        seen.append((batch_id, lineage))
+        if len(seen) == 1:
+            raise RuntimeError("simulated crash after sink commit")
+
+    with pytest.raises(Exception, match="simulated crash"):
+        run_advisory_stream(
+            spark, str(incoming), tbl, ckpt,
+            max_files_per_trigger=1, on_batch=crash_after_first,
+        )
+    assert len(seen) == 1 and seen[0][1] is not None
+
+    # resume: the interrupted batch replays as a committed-epoch no-op,
+    # then the second batch lands
+    replays = []
+    table = run_advisory_stream(
+        spark, str(incoming), tbl, ckpt,
+        max_files_per_trigger=1,
+        on_batch=lambda bid, lin: replays.append((bid, lin)),
+    )
+    assert replays[0][1] is None  # exactly-once: epoch already committed
+
+    rows = {r["vuln_id"]: r for r in table.read().collect()}
+    assert set(rows) == {"OSV-1"}
+    m = rows["OSV-1"]
+    assert m["summary"] == "one" and m["details"] == "two"
+    assert m["sources"] == ["gitlab", "osv"]
+    assert {"CVE-5", "GHSA-2"} <= set(m["aliases"])
+
+    # equals the batch pipeline run over the same two batches
+    t2 = create_vuln_table(spark, str(tmp_path / "tbl2"), n_buckets=16)
+    sch = (
+        "vuln_id string, source string, summary string, details string, "
+        "severity string, package_name string, ecosystem string, "
+        "aliases array<string>, affected_versions array<string>, "
+        "fixed_versions array<string>, modified_at timestamp"
+    )
+    for i, rows_i in enumerate([b1, b2]):
+        df = spark.createDataFrame(
+            [tuple(r[:-1]) + (r[-1].to_pydatetime(),) for r in rows_i], sch
+        )
+        ingest_canonical(t2, to_canonical(df), run_seq=i)
+    cols = ["vuln_id", "summary", "details", "aliases", "sources",
+            "source_ords", "modified_seq"]
+    a = {tuple(str(r[c]) for c in cols) for r in table.read().collect()}
+    b = {tuple(str(r[c]) for c in cols) for r in t2.read().collect()}
+    assert a == b

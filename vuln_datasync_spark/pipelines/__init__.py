@@ -1,8 +1,11 @@
 from .advisory_ingest import (  # noqa: F401
+    ADVISORY_STREAM_DDL,
     CANON_ARRAYS,
     CANON_SCALARS,
     create_vuln_table,
     gitlab_advisories_to_vulns,
     ingest_advisories,
+    ingest_canonical,
+    run_advisory_stream,
     to_canonical,
 )

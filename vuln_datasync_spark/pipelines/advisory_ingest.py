@@ -35,12 +35,14 @@ VULN_KEY = ("vuln_id",)
 _ORD = "modified_seq"
 
 
-def to_canonical(df: DataFrame, source_name: str) -> DataFrame:
+def to_canonical(df: DataFrame, source_name: str | None = None) -> DataFrame:
     """Project a per-source normalized frame onto the canonical
     vulnerability schema (reference types.Vulnerability,
     /root/reference/internal/types/types.go): missing scalars become
     null, missing arrays empty, and recency is derived from whichever
-    modified/updated timestamp the source produced."""
+    modified/updated timestamp the source produced. ``source_name=None``
+    keeps the frame's own per-row ``source`` column (mixed-source input,
+    e.g. a streaming micro-batch)."""
     cols = [F.col("vuln_id").cast("string").alias("vuln_id")]
     for c in CANON_SCALARS:
         cols.append(
@@ -66,7 +68,11 @@ def to_canonical(df: DataFrame, source_name: str) -> DataFrame:
             else F.lit(0)
         ).cast("long").alias(_ORD)
     )
-    cols.append(F.lit(source_name).alias("source"))
+    cols.append(
+        (
+            F.lit(source_name) if source_name is not None else F.col("source")
+        ).alias("source")
+    )
     return df.select(*cols)
 
 
@@ -142,6 +148,22 @@ def ingest_advisories(
     for name, df in by_source.items():
         c = to_canonical(df, name)
         inc = c if inc is None else inc.unionByName(c)
+    return ingest_canonical(
+        table, inc, run_seq, checkpoint_id=checkpoint_id, batch_id=batch_id
+    )
+
+
+def ingest_canonical(
+    table: ManifestTable,
+    inc: DataFrame,
+    run_seq: int,
+    checkpoint_id: str = "advisories",
+    batch_id: int | None = None,
+) -> dict | None:
+    """The sync core over an already-canonical frame (``to_canonical``
+    output — mixed sources allowed): alias-closure merge, per-source
+    recency, unchanged-hash skip, epoch-tagged MERGE. ``ingest_advisories``
+    and the streaming tail both land here."""
     # rank tiebreak: at exactly equal (priority, recency) the INCOMING
     # copy must win the fold (the reference merges each incoming record
     # INTO the stored one — its values take effect for its source)
@@ -233,3 +255,72 @@ def ingest_advisories(
         checkpoint_id=checkpoint_id,
         batch_id=run_seq if batch_id is None else batch_id,
     )
+
+
+# canonical advisory stream input: one row per (record, source), recency as
+# a timestamp the canonical projection converts to modified_seq
+ADVISORY_STREAM_DDL = (
+    "vuln_id string, source string, summary string, details string, "
+    "severity string, package_name string, ecosystem string, "
+    "aliases array<string>, affected_versions array<string>, "
+    "fixed_versions array<string>, modified_at timestamp"
+)
+
+
+def run_advisory_stream(
+    spark: SparkSession,
+    incoming_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    schema: str = ADVISORY_STREAM_DDL,
+    max_files_per_trigger: int | None = None,
+    on_batch=None,
+    await_termination: bool = True,
+):
+    """The advisory sync pipeline as a resumable micro-batch TAIL — the
+    reference's scheduled batch sync (internal/jobs/server.go:115-170)
+    restated as Structured Streaming over a drop directory of canonical
+    advisory records, exactly like the CDC path (streaming/pipeline.py
+    run_stream): offsets live in the checkpoint, each micro-batch runs the
+    full closure-merge + hash-skip + MERGE core, and the sink's
+    (checkpoint_id, batch_id) epoch ledger makes a batch interrupted
+    between sink commit and checkpoint commit replay as a no-op.
+
+    ``trigger(availableNow=True)``: drains what's there and stops; a later
+    call with the same checkpoint resumes after the last committed batch.
+    ``on_batch(batch_id, lineage)`` is the crash-simulation test hook."""
+    import os
+
+    from ..streaming.pipeline import checkpoint_identity
+
+    if os.path.exists(os.path.join(table_root, "_table.json")):
+        table = ManifestTable(spark, table_root)
+    else:
+        table = create_vuln_table(spark, table_root)
+    ckpt_id = checkpoint_identity(checkpoint_dir)
+
+    def process(batch_df: DataFrame, batch_id: int):
+        lineage = ingest_canonical(
+            table,
+            to_canonical(batch_df),
+            run_seq=batch_id,
+            checkpoint_id=ckpt_id,
+            batch_id=batch_id,
+        )
+        if on_batch is not None:
+            on_batch(batch_id, lineage)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    query = (
+        reader.parquet(incoming_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not await_termination:
+        return table, query
+    query.awaitTermination()
+    return table
