@@ -283,3 +283,29 @@ def test_ann_index_upsert_incremental(spark, tmp_path):
     assert all(list(r["vec"]) == new_vec for r in rows3)
     # exactly one row per band for the re-published id (no stale copies)
     assert len(rows3) == 4
+
+
+def test_dedup_clusters_transitive_and_singletons(spark):
+    """A~B, B~C with no A~C pair must still form ONE cluster (dedup policy
+    is transitive even though similarity isn't); unpaired ids from all_ids
+    become singleton keepers; keeper = min member id."""
+    from vuln_datasync_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    everyone = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 20, 21, 22, 23, 99]],
+        "id long",
+    )
+    got = {
+        r["id"]: (r["cluster_id"], r["is_keeper"])
+        for r in dedup_clusters(pairs, all_ids=everyone).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (10, True), 11: (10, False),
+        20: (20, True), 21: (20, False), 22: (20, False), 23: (20, False),
+        99: (99, True),
+    }

@@ -351,3 +351,93 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    all_ids: DataFrame | None = None,
+    id_col: str = "id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs — the step that
+    turns pairwise candidates (minhash_lsh_candidates / simhash_pairs /
+    ngram_jaccard_pairs / embedding_neardup_pairs output) into actionable
+    dedup CLUSTERS: every transitively-connected group gets one
+    ``cluster_id`` (the min member id) and one canonical keeper
+    (``is_keeper`` = the member equal to the cluster id). Near-duplication
+    is not transitive, but dedup policy must be — A~B and B~C means
+    keeping one of {A, B, C} (the reference's serial alias-closure has the
+    same shape for advisories, /root/reference/internal/merger/
+    merger.go:74-105; this is its similarity-pairs analog).
+
+    ``all_ids`` (a frame bearing ``id_col``) adds unpaired docs as
+    singleton clusters so the output is a complete keep/drop verdict per
+    document, not just for paired ones.
+
+    Plan: min-label propagation over the symmetric pair graph — per
+    iteration ONE equi-join (neighbor labels, shuffle on the id key) +
+    one groupBy min + the convergence count folded into the action that
+    materializes the iteration's cache (same construction as
+    merge.alias_components). State is O(#docs) labels, never O(pairs²);
+    converges in component-diameter iterations (near-dup families are
+    dense — 1-2 in practice), ``max_iters`` bounds the worst case.
+    Returns (``id_col``, cluster_id, is_keeper), localCheckpoint-ed so
+    downstream consumers replay nothing of the loop."""
+    edges = pairs.select(
+        F.col(id_a).alias("_src"), F.col(id_b).alias("_dst")
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(
+                F.col("_dst").alias("_src"), F.col("_src").alias("_dst")
+            )
+        )
+        .dropDuplicates(["_src", "_dst"])
+        .persist()
+    )
+    nodes = edges.select(F.col("_src").alias("_id"))
+    if all_ids is not None:
+        nodes = nodes.unionByName(
+            all_ids.select(F.col(id_col).alias("_id"))
+        )
+    labels = (
+        nodes.distinct().select("_id", F.col("_id").alias("_lbl")).persist()
+    )
+    iters = 0
+    for iters in range(1, max_iters + 1):
+        neigh = (
+            edges.join(labels, edges["_dst"] == labels["_id"])
+            .groupBy("_src")
+            .agg(F.min("_lbl").alias("_nlbl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["_id"] == neigh["_src"], "left")
+            .select(
+                "_id",
+                F.least("_lbl", "_nlbl").alias("_lbl"),
+                (F.col("_nlbl") < F.col("_lbl")).alias("_chg"),
+            )
+            .persist()
+        )
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        logger.warning(
+            "dedup_clusters: did not converge in %d iterations — "
+            "components deeper than that remain split",
+            max_iters,
+        )
+    logger.info("dedup_clusters: converged after %d iterations", iters)
+    out = labels.select(
+        F.col("_id").alias(id_col),
+        F.col("_lbl").alias("cluster_id"),
+        (F.col("_id") == F.col("_lbl")).alias("is_keeper"),
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    edges.unpersist()
+    return out

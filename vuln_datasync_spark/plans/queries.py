@@ -2394,6 +2394,83 @@ def _wrap(fn: Callable) -> Callable:
     return wrapped
 
 
+@q(
+    "dd_dedup_clusters",
+    "near-dup CLUSTERING: transitive closure over minhash candidate pairs "
+    "-> one cluster_id + canonical keeper per doc, singletons included "
+    "(operators/dedup.py dedup_clusters; reference closure analog "
+    "internal/merger/merger.go:74-105)",
+    f"""WITH RECURSIVE fix AS (
+          SELECT 900000 + i AS doc_id,
+                 (SELECT text FROM documents WHERE doc_id = 0) AS text
+          FROM range(5) t(i)
+          UNION ALL
+          SELECT 910000 + i,
+                 (SELECT text FROM documents WHERE doc_id = 1)
+          FROM range(3) t(i)
+          UNION ALL
+          SELECT 920000 + i,
+                 (SELECT text FROM documents WHERE doc_id = 2)
+          FROM range(1) t(i)
+          UNION ALL
+          SELECT 930000 + i,
+                 (SELECT text FROM documents WHERE doc_id = 3)
+          FROM range(2) t(i)
+        ), sh AS (
+          SELECT doc_id, {_SHINGLE_SQL} AS s FROM fix
+        ), sig AS (
+          SELECT doc_id,
+                 [{", ".join(f"list_min(list_transform(s, x -> md5(x || ':{i}')))" for i in range(8))}] AS mh
+          FROM sh
+        ), bands AS (
+          SELECT doc_id, b.band,
+                 md5(mh[b.band*2+1] || '|' || mh[b.band*2+2]) AS bucket
+          FROM sig, (SELECT unnest([0,1,2,3]) AS band) b
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id <> b.doc_id
+        ), reach AS (
+          SELECT doc_id AS src, doc_id AS dst FROM fix
+          UNION
+          SELECT r.src, p.b FROM reach r JOIN pairs p ON r.dst = p.a
+        )
+        SELECT src AS doc_id, min(dst) AS cluster_id,
+               min(dst) = src AS is_keeper
+        FROM reach GROUP BY src ORDER BY doc_id""",
+    note="fixture plants clone families of sizes 5/3/1/2 from four base "
+    "texts; the engine runs minhash_lsh_candidates (uncapped) then "
+    "dedup_clusters with all_ids for the singleton; the oracle computes "
+    "the SAME candidate pairs in SQL and closes them with a recursive "
+    "CTE — a non-transitive or pairs-only dedup would mismatch on the "
+    "cluster assignment, a missing-singleton bug on row count",
+)
+def dd_dedup_clusters_q(spark, sf):
+    from ..operators.dedup import dedup_clusters, minhash_lsh_candidates
+
+    d = _t(spark, sf, "documents")
+    fams = []
+    for base_id, start, n in [
+        (0, 900000, 5), (1, 910000, 3), (2, 920000, 1), (3, 930000, 2)
+    ]:
+        t = d.filter(F.col("doc_id") == base_id).select("text")
+        fams.append(
+            t.crossJoin(spark.range(n)).select(
+                (F.lit(start) + F.col("id")).alias("doc_id"), "text"
+            )
+        )
+    fix = fams[0]
+    for f in fams[1:]:
+        fix = fix.unionByName(f)
+    pairs = minhash_lsh_candidates(
+        fix, "text", "doc_id", k=8, bands=4, max_bucket_size=None
+    )
+    return dedup_clusters(
+        pairs, all_ids=fix.select("doc_id"), id_col="doc_id"
+    ).orderBy("doc_id")
+
+
 # The driver's correctness artifact records AT MOST the FIRST 50 entries of
 # queries() in iteration order (proven empirically: CORRECTNESS_r01 had 45 =
 # the whole catalog then; r02 and r03 both contain exactly the first 50
@@ -2428,8 +2505,9 @@ _DRIVER_PRIORITY = [
     "decon_contamination",
     "tx_tfidf_top_terms",
     "j8_asof_join",
-    # new this round — needs its first driver row
+    # new this round — need their first driver row
     "sim_ann_upsert_topk",
+    "dd_dedup_clusters",
     # load-bearing keepers (driver-attested in r02+r03; stay in the window)
     "q1_tpch_pricing_summary",
     "j1_priority_dedup_join",
@@ -2459,7 +2537,6 @@ _DRIVER_PRIORITY = [
     "mm_sample_frames",
     "a4_multi_metric_stats",
     "a5_state_pivot_counts",
-    "a7_array_dedup_union",
 ]
 
 
