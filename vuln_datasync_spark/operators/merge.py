@@ -460,6 +460,7 @@ def merge_by_alias_overlap(
     max_closure_iters: int = 10,
     tiebreak_col: str | None = None,
     with_source_ords: bool = False,
+    precomputed_match: DataFrame | None = None,
 ) -> DataFrame:
     """The reference's full cross-source merge flow, alias-keyed: find the
     existing record each incoming one overlaps (FindMatchingVulnerability,
@@ -481,12 +482,21 @@ def merge_by_alias_overlap(
     — its best record by (priority, newest, id) — canonicalizes the group,
     and the group's best existing match (if any, picked by the same total
     order) keys the whole component.
+
+    ``precomputed_match``: an ``alias_overlap_match(incoming, existing,
+    with_order=True)`` result the caller already has (the ingest pipeline
+    computes one to prefilter the store) — passing it avoids a second
+    execution of the alias-explode join. It may have been computed against
+    a SUPERSET of ``existing`` (pre-filter), since every matched id must
+    survive the caller's restriction by construction.
     """
     array_cols = array_cols or []
-    m_ex = alias_overlap_match(
-        incoming, existing, id_col, alias_col, source_col, order_col,
-        with_order=True,
-    )
+    m_ex = precomputed_match
+    if m_ex is None:
+        m_ex = alias_overlap_match(
+            incoming, existing, id_col, alias_col, source_col, order_col,
+            with_order=True,
+        )
     m_self = alias_components(
         incoming, id_col, alias_col, source_col, order_col,
         max_iters=max_closure_iters,

@@ -214,7 +214,12 @@ def ingest_canonical(
         # analog, but payload never flows for untouched records)
         from ..operators.merge import alias_overlap_match
 
-        pre = alias_overlap_match(inc, existing_all, order_col=_ORD)
+        # computed ONCE (localCheckpoint: one row per matched incoming id,
+        # tiny) and reused as the merge's match — without this the
+        # alias-explode join executes twice per sync run
+        pre = alias_overlap_match(
+            inc, existing_all, order_col=_ORD, with_order=True
+        ).localCheckpoint(eager=True)
         touched_ids = (
             pre.select(F.col("matched_id").alias("vuln_id"))
             .unionByName(inc.select("vuln_id"))
@@ -222,6 +227,7 @@ def ingest_canonical(
         )
         existing = existing_all.join(touched_ids, "vuln_id", "left_semi")
     else:
+        pre = None
         existing = inc.limit(0)
 
     merged = merge_by_alias_overlap(
@@ -232,6 +238,7 @@ def ingest_canonical(
         order_col=_ORD,
         tiebreak_col="_inc",
         with_source_ords=True,
+        precomputed_match=pre,
     ).withColumn("data_hash", _data_hash())
 
     if have_store:
