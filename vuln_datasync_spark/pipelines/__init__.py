@@ -9,3 +9,4 @@ from .advisory_ingest import (  # noqa: F401
     run_advisory_stream,
     to_canonical,
 )
+from .corpus_prep import prepare_training_corpus  # noqa: F401

@@ -2471,6 +2471,108 @@ def dd_dedup_clusters_q(spark, sf):
     ).orderBy("doc_id")
 
 
+@q(
+    "corpus_prepare",
+    "composed training-corpus prep pipeline: exact dedup -> quality/lang "
+    "filter -> minhash near-dup clusters (keep canonical) -> hash split "
+    "(pipelines/corpus_prep.py prepare_training_corpus; reference flow "
+    "analog internal/jobs/server.go:864-907 re-targeted at documents)",
+    f"""WITH RECURSIVE d AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 300
+        ), ex AS (
+          SELECT min(doc_id) AS doc_id FROM d GROUP BY text
+        ), d1 AS (
+          SELECT d.doc_id, d.text FROM d JOIN ex USING (doc_id)
+        ), q AS (
+          SELECT doc_id, round((
+             least(length(text) / 500.0, 1.0)
+           + CASE WHEN (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                       / (length(text) + 1.0) <= 0.1 THEN 1.0
+                  ELSE greatest(0.0, 1.0 - ((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                       / (length(text) + 1.0) - 0.1) * 5.0) END
+           + CASE WHEN length(text) / (len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) + 1.0)
+                       BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END
+          ) / 3.0, 4) AS quality
+          FROM d1
+        ), sw AS (
+          SELECT doc_id,
+                 {_HITS_SQL.format(bank=_BANKS_SQL["en"])} AS en_h,
+                 {_HITS_SQL.format(bank=_BANKS_SQL["de"])} AS de_h,
+                 {_HITS_SQL.format(bank=_BANKS_SQL["es"])} AS es_h,
+                 {_HITS_SQL.format(bank=_BANKS_SQL["fr"])} AS fr_h
+          FROM d1
+        ), l AS (
+          SELECT doc_id,
+                 CASE WHEN greatest(en_h, de_h, es_h, fr_h) = 0 THEN 'und'
+                      WHEN en_h = greatest(en_h, de_h, es_h, fr_h) THEN 'en'
+                      WHEN de_h = greatest(en_h, de_h, es_h, fr_h) THEN 'de'
+                      WHEN es_h = greatest(en_h, de_h, es_h, fr_h) THEN 'es'
+                      ELSE 'fr' END AS pred_lang
+          FROM sw
+        ), d2 AS (
+          SELECT d1.doc_id, d1.text, q.quality, l.pred_lang
+          FROM d1 JOIN q USING (doc_id) JOIN l USING (doc_id)
+          WHERE q.quality >= 0.4 AND l.pred_lang IN ('en')
+        ), sh AS (
+          SELECT doc_id, {_SHINGLE_SQL} AS s FROM d2
+        ), sig AS (
+          SELECT doc_id,
+                 [{", ".join(f"list_min(list_transform(s, x -> md5(x || ':{i}')))" for i in range(8))}] AS mh
+          FROM sh
+        ), bnd AS (
+          SELECT doc_id, b.band,
+                 md5(mh[b.band*2+1] || '|' || mh[b.band*2+2]) AS bucket
+          FROM sig, (SELECT unnest([0,1,2,3]) AS band) b
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          FROM bnd a JOIN bnd b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id <> b.doc_id
+        ), pairs AS (
+          SELECT c.a, c.b FROM cand c
+          JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+          WHERE len(list_filter(list_transform(generate_series(1, 8),
+                i -> sa.mh[i] = sb.mh[i]), x -> x)) / 8.0 >= 0.5
+        ), reach AS (
+          SELECT doc_id AS src, doc_id AS dst FROM d2
+          UNION
+          SELECT r.src, p.b FROM reach r JOIN pairs p ON r.dst = p.a
+        ), cl AS (
+          SELECT src AS doc_id, min(dst) AS cid FROM reach GROUP BY src
+        ), kept AS (
+          SELECT d2.doc_id, d2.pred_lang, d2.quality
+          FROM d2 JOIN cl USING (doc_id) WHERE cl.cid = d2.doc_id
+        ), f AS (
+          SELECT doc_id, pred_lang, quality,
+                 CAST(concat('0x', substring(
+                     md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 15))
+                     AS UBIGINT) / POWER(16, 15) AS frac
+          FROM kept
+        )
+        SELECT doc_id, pred_lang, quality,
+               CASE WHEN frac < 0.75 THEN 'train'
+                    WHEN frac < 0.875 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM f ORDER BY doc_id""",
+    note="the oracle recomputes EVERY stage (text-group dedup = the "
+    "sha256 keep-min-id, quality/lang exprs, minhash pairs + recursive "
+    "closure keepers, md5-fraction split) — a wrong stage order, a "
+    "filter applied pre-dedup, or a non-canonical keeper choice all "
+    "change the surviving id set and hash-mismatch",
+)
+def corpus_prepare_q(spark, sf):
+    from ..pipelines.corpus_prep import prepare_training_corpus
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return prepare_training_corpus(
+        d,
+        min_quality=0.4,
+        languages=("en",),
+        max_bucket_size=None,
+        split_weights={"train": 0.75, "val": 0.125, "test": 0.125},
+    ).orderBy("doc_id")
+
+
 # The driver's correctness artifact records AT MOST the FIRST 50 entries of
 # queries() in iteration order (proven empirically: CORRECTNESS_r01 had 45 =
 # the whole catalog then; r02 and r03 both contain exactly the first 50
@@ -2508,6 +2610,7 @@ _DRIVER_PRIORITY = [
     # new this round — need their first driver row
     "sim_ann_upsert_topk",
     "dd_dedup_clusters",
+    "corpus_prepare",
     # load-bearing keepers (driver-attested in r02+r03; stay in the window)
     "q1_tpch_pricing_summary",
     "j1_priority_dedup_join",
@@ -2536,7 +2639,6 @@ _DRIVER_PRIORITY = [
     "mm_extract_features",
     "mm_sample_frames",
     "a4_multi_metric_stats",
-    "a5_state_pivot_counts",
 ]
 
 
