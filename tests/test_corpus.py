@@ -128,3 +128,55 @@ def test_tfidf_top_terms(spark):
     # doc 3: 'durian' (df=1, rarest) outranks 'apple' (df=2)
     top3 = max(by_doc[3], key=lambda r: r["score"])
     assert top3["term"] == "durian" and top3["doc_freq"] == 1
+
+
+def test_stratified_sample_deterministic_and_stable(spark):
+    from pyspark.sql import functions as F
+
+    from vuln_datasync_spark.operators.corpus import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "zh"][i % 3]) for i in range(300)],
+        "doc_id long, lang string",
+    )
+    kept = stratified_sample(
+        df, "lang", "doc_id", fractions={"en": 0.25, "zh": 1.0},
+        default_fraction=0.5,
+    )
+    ids1 = {r["doc_id"] for r in kept.collect()}
+    # deterministic: identical on rerun and under different partitioning
+    ids2 = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df.repartition(7), "lang", "doc_id",
+            fractions={"en": 0.25, "zh": 1.0}, default_fraction=0.5,
+        ).collect()
+    }
+    assert ids1 == ids2
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang["zh"] == 100          # fraction 1.0 keeps everything
+    assert 10 <= by_lang["en"] <= 40     # ~25 of 100
+    assert 35 <= by_lang["de"] <= 65     # ~50 of 100
+    # stability: growing the corpus never changes existing decisions
+    grown = df.unionByName(
+        spark.createDataFrame(
+            [(1000 + i, "en") for i in range(50)], "doc_id long, lang string"
+        )
+    )
+    ids3 = {
+        r["doc_id"]
+        for r in stratified_sample(
+            grown, "lang", "doc_id", fractions={"en": 0.25, "zh": 1.0},
+            default_fraction=0.5,
+        ).collect()
+        if r["doc_id"] < 1000
+    }
+    assert ids3 == ids1
+
+    import pytest
+
+    with pytest.raises(ValueError, match="out of"):
+        stratified_sample(df, "lang", "doc_id", fractions={"en": 1.5})

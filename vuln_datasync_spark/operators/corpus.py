@@ -222,3 +222,38 @@ def tfidf_top_terms(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its md5-fraction
+    of (id, salt) falls below its stratum's target fraction. The standard
+    training-data rebalancing move (downsample boilerplate languages /
+    sources, keep rare strata whole) with hash_split's stability
+    properties: adding data never changes which EXISTING rows are kept,
+    reruns and engines agree bit-for-bit, and no shuffle or count pass is
+    needed — unlike ``df.sampleBy``, which draws per-task pseudo-random
+    numbers that change with partitioning.
+
+    ``fractions`` maps stratum value -> keep fraction in [0, 1]; strata
+    not listed keep ``default_fraction`` (0 = drop, 1 = keep all). The
+    per-row decision is a pure column expression (whole-stage codegen);
+    at 100 TB this is a scan with a predicate, nothing more."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} out of [0,1]: {v}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction out of [0,1]: {default_fraction}")
+    frac = _md5_fraction(F.col(id_col).cast("string"), salt)
+    target = F.lit(float(default_fraction))
+    for value, keep in fractions.items():
+        target = F.when(
+            F.col(strata_col) == value, F.lit(float(keep))
+        ).otherwise(target)
+    return df.filter(frac < target)

@@ -2573,6 +2573,44 @@ def corpus_prepare_q(spark, sf):
     ).orderBy("doc_id")
 
 
+@q(
+    "samp_stratified",
+    "corpus prep: deterministic per-stratum sampling (downsample dominant "
+    "languages, keep rare ones whole — operators/corpus.py "
+    "stratified_sample; md5-fraction, partitioning-independent, unlike "
+    "sampleBy's per-task RNG)",
+    """WITH f AS (
+          SELECT doc_id, lang,
+                 CAST(concat('0x', substring(
+                     md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 15))
+                     AS UBIGINT) / POWER(16, 15) AS frac
+          FROM documents
+        )
+        SELECT doc_id, lang FROM f
+        WHERE frac < CASE lang WHEN 'en' THEN 0.25
+                               WHEN 'zh' THEN 1.0
+                               ELSE 0.5 END
+        ORDER BY doc_id""",
+    note="en downsampled to 25%, zh kept whole, everything else at the "
+    "50% default — the exact kept-id set (not just counts) must match, "
+    "so a partitioning-dependent or non-deterministic sampler fails",
+)
+def samp_stratified_q(spark, sf):
+    from ..operators.corpus import stratified_sample
+
+    return (
+        stratified_sample(
+            _t(spark, sf, "documents"),
+            "lang",
+            "doc_id",
+            fractions={"en": 0.25, "zh": 1.0},
+            default_fraction=0.5,
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 # The driver's correctness artifact records AT MOST the FIRST 50 entries of
 # queries() in iteration order (proven empirically: CORRECTNESS_r01 had 45 =
 # the whole catalog then; r02 and r03 both contain exactly the first 50
@@ -2611,6 +2649,7 @@ _DRIVER_PRIORITY = [
     "sim_ann_upsert_topk",
     "dd_dedup_clusters",
     "corpus_prepare",
+    "samp_stratified",
     # load-bearing keepers (driver-attested in r02+r03; stay in the window)
     "q1_tpch_pricing_summary",
     "j1_priority_dedup_join",
@@ -2638,7 +2677,6 @@ _DRIVER_PRIORITY = [
     "mm_binary_metadata",
     "mm_extract_features",
     "mm_sample_frames",
-    "a4_multi_metric_stats",
 ]
 
 
