@@ -328,3 +328,40 @@ def test_advisory_stream_resume_matches_batch(spark, tmp_path):
     a = {tuple(str(r[c]) for c in cols) for r in table.read().collect()}
     b = {tuple(str(r[c]) for c in cols) for r in t2.read().collect()}
     assert a == b
+
+
+def test_cli_ingest_stream(spark, tmp_path, capsys, monkeypatch):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vuln_datasync_spark import cli
+
+    monkeypatch.setattr(cli, "_spark", lambda args: spark)
+    incoming = tmp_path / "inc"
+    incoming.mkdir()
+    cols = [
+        "vuln_id", "source", "summary", "details", "severity",
+        "package_name", "ecosystem", "aliases",
+        "affected_versions", "fixed_versions", "modified_at",
+    ]
+    schema = pa.schema(
+        [pa.field(c, pa.string()) for c in cols[:7]]
+        + [pa.field(c, pa.list_(pa.string())) for c in cols[7:10]]
+        + [pa.field("modified_at", pa.timestamp("us"))]
+    )
+    df = pd.DataFrame(
+        [("OSV-9", "osv", "nine", "", "low", "p", "npm",
+          ["CVE-9"], [], [], pd.Timestamp("2026-03-01"))],
+        columns=cols,
+    )
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=schema, preserve_index=False),
+        incoming / "a.parquet",
+    )
+    assert cli.main([
+        "ingest-stream", "--table", str(tmp_path / "t"),
+        "--incoming", str(incoming), "--checkpoint", str(tmp_path / "ck"),
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out == {"rows": 1, "batches_applied": 1}

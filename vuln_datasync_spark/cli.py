@@ -16,6 +16,7 @@ Subcommands:
   replay   batch-apply a whole changelog directory to the table
   stream   tail the changelog with Structured Streaming (availableNow or
            processingTime trigger), exactly-once, resumable
+  ingest-stream  advisory sync as a resumable micro-batch tail
   export   snapshot export to json/csv (optionally gzip)
   stats    table + lineage summary (reference /api/v1/stats analog)
   compact  expire old snapshots and drop aged tombstones
@@ -193,6 +194,30 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_ingest_stream(args) -> int:
+    """Advisory sync as a resumable Structured Streaming tail (reference
+    scheduled-sync loop -> availableNow drain; same checkpoint-resume
+    semantics as the CDC `stream` subcommand)."""
+    from .pipelines import run_advisory_stream
+
+    spark = _spark(args)
+    table = run_advisory_stream(
+        spark,
+        args.incoming,
+        args.table,
+        args.checkpoint,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    lineage = table.read_lineage()
+    print(json.dumps({
+        "rows": table.read().count(),
+        "batches_applied": lineage.select(
+            "checkpoint_id", "batch_id"
+        ).distinct().count(),
+    }))
+    return 0
+
+
 def cmd_synth(args) -> int:
     from .datagen import generate_changelog_spark
 
@@ -267,6 +292,19 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--gitlab-tree", default=None,
                    help="root of a GitLab advisory YAML tree")
     i.set_defaults(fn=cmd_ingest)
+
+    istr = sub.add_parser(
+        "ingest-stream",
+        help="advisory sync as a resumable micro-batch tail over a drop "
+        "directory of canonical advisory parquet",
+    )
+    istr.add_argument("--table", required=True)
+    istr.add_argument("--incoming", required=True,
+                      help="directory of canonical advisory parquet "
+                      "(ADVISORY_STREAM_DDL schema)")
+    istr.add_argument("--checkpoint", required=True)
+    istr.add_argument("--max-files-per-trigger", type=int, default=None)
+    istr.set_defaults(fn=cmd_ingest_stream)
 
     g = sub.add_parser("synth", help="generate a synthetic changelog")
     g.add_argument("--events", type=int, default=100000)
