@@ -180,3 +180,34 @@ def test_stratified_sample_deterministic_and_stable(spark):
 
     with pytest.raises(ValueError, match="out of"):
         stratified_sample(df, "lang", "doc_id", fractions={"en": 1.5})
+
+
+def test_pack_sequences_straddle_semantics(spark):
+    from vuln_datasync_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 60), (2, 50), (3, 10), (4, 100)],
+        "doc_id long, toks long",
+    )
+    got = {
+        r["doc_id"]: (r["seq_id"], r["seq_offset"])
+        for r in pack_sequences(
+            df.withColumn("s", df.doc_id * 0), "doc_id", "toks",
+            budget=100, shard_col="s",
+        ).collect()
+    }
+    # cumsum starts: 0, 60, 110, 120 -> seq floor(start/100), offset %100
+    assert got == {1: (0, 0), 2: (0, 60), 3: (1, 10), 4: (1, 20)}
+
+    # determinism under repartitioning with the default hash shard
+    a = {(r["doc_id"], r["pack_shard"], r["seq_id"], r["seq_offset"])
+         for r in pack_sequences(df, "doc_id", "toks", 100).collect()}
+    b = {(r["doc_id"], r["pack_shard"], r["seq_id"], r["seq_offset"])
+         for r in pack_sequences(
+             df.repartition(5), "doc_id", "toks", 100).collect()}
+    assert a == b
+
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, "doc_id", "toks", 0)

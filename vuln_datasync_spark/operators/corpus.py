@@ -257,3 +257,55 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(float(keep))
         ).otherwise(target)
     return df.filter(frac < target)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    shard_col: str | None = None,
+    n_shards: int = 1024,
+) -> DataFrame:
+    """Assign every item (document/chunk) its position in a stream of
+    fixed-``budget`` training sequences — the concatenate-then-cut packing
+    GPT-style pipelines use: items are laid end-to-end in ``id_col`` order
+    and cut every ``budget`` tokens, so an item may straddle a boundary
+    (its tail flows into the next sequence). Returns the input plus
+    ``pack_shard``, ``seq_id`` (the sequence its first token lands in,
+    0-based within the shard) and ``seq_offset`` (token offset inside
+    that sequence).
+
+    ``weight_col`` is the item's token count (any integer weight).
+    Packing is per-shard: ``shard_col`` if given, else a deterministic
+    md5 hash of the id into ``n_shards`` buckets — a SINGLE global
+    ordering would serialize the whole corpus through one partition,
+    while per-shard running sums shuffle once on the shard key and keep
+    O(1) state per row (a running-total window, the same construction as
+    the CDC running aggregates). Deterministic: same inputs, same
+    packing, any partitioning."""
+    from pyspark.sql import Window as W
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if shard_col is None:
+        shard = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(id_col).cast("string"), F.lit("shard"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(n_shards),
+        )
+    else:
+        shard = F.col(shard_col)
+    w = W.partitionBy("pack_shard").orderBy(id_col)
+    cum = F.sum(weight_col).over(w)
+    start = cum - F.col(weight_col)
+    return (
+        df.withColumn("pack_shard", shard.cast("long"))
+        .withColumn("seq_id", F.floor(start / F.lit(budget)))
+        .withColumn("seq_offset", (start % F.lit(budget)).cast("long"))
+    )
