@@ -285,6 +285,52 @@ def test_ann_index_upsert_incremental(spark, tmp_path):
     assert len(rows3) == 4
 
 
+def test_ann_index_upsert_vacated_cell_cleared(spark, tmp_path):
+    """A re-published id whose vector moved must leave NO stale copy even
+    when it was the ONLY occupant of its old (band, bucket) cells: dynamic
+    partition overwrite only replaces partitions present in the written
+    data, so a vacated cell needs explicit clearing."""
+    import glob as _glob
+
+    from vuln_datasync_spark.operators.similarity import (
+        build_ann_index,
+        upsert_ann_index,
+    )
+
+    dim = 64
+    v = [1.0 if i % 3 else -1.0 for i in range(dim)]
+    base = spark.createDataFrame(
+        [(1, v)], "vec_id long, embedding array<double>"
+    )
+    idx = str(tmp_path / "idx")
+    build_ann_index(base, "embedding", "vec_id", dim, idx)
+    old_cells = {
+        d.rsplit("/", 2)[-2] + "/" + d.rsplit("/", 2)[-1]
+        for d in _glob.glob(f"{idx}/band=*/bucket=*")
+    }
+
+    # -v flips the sign of every hyperplane dot product -> every band's
+    # bucket changes -> all 4 old cells are vacated
+    neg = [-x for x in v]
+    repub = spark.createDataFrame(
+        [(1, neg)], "vec_id long, embedding array<double>"
+    )
+    upsert_ann_index(repub, "embedding", "vec_id", dim, idx)
+
+    idx_df = spark.read.parquet(idx)
+    rows = idx_df.filter(F.col("id") == 1).collect()
+    assert len(rows) == 4, f"stale copies survived: {len(rows)} rows"
+    assert all(list(r["vec"]) == neg for r in rows)
+    new_cells = {
+        d.rsplit("/", 2)[-2] + "/" + d.rsplit("/", 2)[-1]
+        for d in _glob.glob(f"{idx}/band=*/bucket=*")
+        if _glob.glob(f"{d}/*.parquet")
+    }
+    assert not (old_cells & new_cells), (
+        f"vacated cells not cleared: {old_cells & new_cells}"
+    )
+
+
 def test_dedup_clusters_transitive_and_singletons(spark):
     """A~B, B~C with no A~C pair must still form ONE cluster (dedup policy
     is transitive even though similarity isn't); unpaired ids from all_ids

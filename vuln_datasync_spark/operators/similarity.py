@@ -399,6 +399,24 @@ def upsert_ann_index(
         merged.repartition("band", "bucket").write.partitionBy(
             "band", "bucket"
         ).mode("overwrite").parquet(out_path)
+        # dynamic overwrite only replaces partitions PRESENT in the written
+        # data: a touched cell whose only rows belonged to re-published ids
+        # ends up with zero merged rows and its old file would survive,
+        # leaving a stale copy. Clear those cells explicitly. Cell count is
+        # structurally bounded (bands × 2^(n_planes/bands)), so collecting
+        # the present set is always driver-safe.
+        import glob as _g
+        import os as _os
+        import shutil as _sh
+
+        present = {
+            (r["band"], r["bucket"])
+            for r in merged.select("band", "bucket").distinct().collect()
+        }
+        for band, bucket in set(touched) - present:
+            cell = _os.path.join(out_path, f"band={band}", f"bucket={bucket}")
+            if _g.glob(_os.path.join(cell, "*")):
+                _sh.rmtree(cell, ignore_errors=True)
         if have_sidecar:
             side_kept = (
                 spark.read.parquet(side_path)
