@@ -17,6 +17,7 @@ Subcommands:
   stream   tail the changelog with Structured Streaming (availableNow or
            processingTime trigger), exactly-once, resumable
   ingest-stream  advisory sync as a resumable micro-batch tail
+  corpus-stream  training-corpus ingest with incremental dedup gating
   export   snapshot export to json/csv (optionally gzip)
   stats    table + lineage summary (reference /api/v1/stats analog)
   compact  expire old snapshots and drop aged tombstones
@@ -218,6 +219,26 @@ def cmd_ingest_stream(args) -> int:
     return 0
 
 
+def cmd_corpus_stream(args) -> int:
+    """Training-corpus ingest as a resumable micro-batch tail: per-batch
+    exact + near-dup dedup gating against the persisted minhash index,
+    exactly-once MERGE of the survivors."""
+    from .pipelines.corpus_stream import run_corpus_stream
+
+    spark = _spark(args)
+    table = run_corpus_stream(
+        spark,
+        args.incoming,
+        args.table,
+        args.index,
+        args.checkpoint,
+        max_files_per_trigger=args.max_files_per_trigger,
+        threshold=args.threshold,
+    )
+    print(json.dumps({"rows": table.read().count()}))
+    return 0
+
+
 def cmd_synth(args) -> int:
     from .datagen import generate_changelog_spark
 
@@ -305,6 +326,23 @@ def build_parser() -> argparse.ArgumentParser:
     istr.add_argument("--checkpoint", required=True)
     istr.add_argument("--max-files-per-trigger", type=int, default=None)
     istr.set_defaults(fn=cmd_ingest_stream)
+
+    cs = sub.add_parser(
+        "corpus-stream",
+        help="training-corpus ingest tail: per-batch dedup gate against "
+        "the persisted minhash index, exactly-once MERGE of survivors",
+    )
+    cs.add_argument("--table", required=True)
+    cs.add_argument("--incoming", required=True,
+                    help="directory of document parquet "
+                    "(DOC_STREAM_DDL schema)")
+    cs.add_argument("--index", required=True,
+                    help="minhash index root (created on first batch)")
+    cs.add_argument("--checkpoint", required=True)
+    cs.add_argument("--threshold", type=float, default=0.5,
+                    help="est_jaccard near-dup drop threshold")
+    cs.add_argument("--max-files-per-trigger", type=int, default=None)
+    cs.set_defaults(fn=cmd_corpus_stream)
 
     g = sub.add_parser("synth", help="generate a synthetic changelog")
     g.add_argument("--events", type=int, default=100000)

@@ -776,6 +776,61 @@ def dd_minhash(spark, sf):
 
 
 @q(
+    "dd_index_dedup",
+    "training-data dedup: INCREMENTAL — new docs near-dup-checked against "
+    "a PERSISTED banded minhash index (build evens once; probe odds reads "
+    "only its own (band,pfx) partitions — operators/dedup_index.py)",
+    f"""WITH sh AS (
+          SELECT doc_id, {_SHINGLE_SQL} AS s
+          FROM documents WHERE doc_id < 200
+        ), sig AS (
+          SELECT doc_id,
+                 [{", ".join(f"list_min(list_transform(s, x -> md5(x || ':{i}')))" for i in range(8))}] AS mh
+          FROM sh
+        ), bands AS (
+          SELECT doc_id, b.band,
+                 md5(mh[b.band*2+1] || '|' || mh[b.band*2+2]) AS bucket
+          FROM sig, (SELECT unnest([0,1,2,3]) AS band) b
+        ), pairs AS (
+          SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS dup_id
+          FROM bands n JOIN bands e
+            ON n.band = e.band AND n.bucket = e.bucket
+           AND n.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+        )
+        SELECT new_id, dup_id,
+               round(len(list_filter(list_transform(generate_series(1, 8),
+                     i -> sn.mh[i] = se.mh[i]), x -> x)) / 8.0, 4) AS est_jaccard
+        FROM pairs JOIN sig sn ON sn.doc_id = new_id
+                   JOIN sig se ON se.doc_id = dup_id
+        ORDER BY new_id, dup_id""",
+    note="the oracle recomputes cross-side band matches in SQL; the "
+    "engine path must find the identical pairs while reading ONLY the "
+    "probe batch's own index partitions",
+)
+def dd_index_dedup_q(spark, sf):
+    import hashlib as _h
+    import os as _os
+
+    from ..operators.dedup_index import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    idx = _os.path.join(
+        "/tmp",
+        "vds_mh_index_" + _h.sha256(sf.encode()).hexdigest()[:12],
+    )
+    if not _os.path.exists(_os.path.join(idx, "_SUCCESS")):
+        build_minhash_index(
+            d.filter(F.col("doc_id") % 2 == 0), "text", "doc_id", idx
+        )
+    return dedup_against_index(
+        d.filter(F.col("doc_id") % 2 == 1), "text", "doc_id", idx
+    ).orderBy("new_id", "dup_id")
+
+
+@q(
     "dd_ngram_jaccard",
     "training-data dedup: exact n-gram Jaccard similarity join",
     f"""WITH sh AS (
@@ -2689,6 +2744,7 @@ _DRIVER_PRIORITY = [
     "corpus_prepare",
     "samp_stratified",
     "tx_pack_sequences",
+    "dd_index_dedup",
     # load-bearing keepers (driver-attested in r02+r03; stay in the window)
     "q1_tpch_pricing_summary",
     "j1_priority_dedup_join",
@@ -2712,7 +2768,6 @@ _DRIVER_PRIORITY = [
     "tx_token_stats",
     "tx_lang_id",
     "tx_quality_score",
-    "tx_fingerprint",
     "mm_binary_metadata",
     "mm_extract_features",
 ]
