@@ -211,3 +211,29 @@ def test_pack_sequences_straddle_semantics(spark):
 
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df, "doc_id", "toks", 0)
+
+
+def test_repetition_stats_planted_fractions(spark):
+    from vuln_datasync_spark.operators.corpus import repetition_stats
+
+    rows = [
+        (1, "a b\na b\nc d"),   # dup line, repeated bigram
+        (2, "hello"),            # single word: no grams
+        (3, ""),                 # empty doc
+        (4, "x y z x y z x y"),  # heavy 2/3-gram repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_lines"], r["dup_line_frac"], r["top2_frac"], r["top3_frac"]
+        )
+        for r in repetition_stats(df, "text", "doc_id").collect()
+    }
+    # doc 1: 3 lines, 2 distinct -> 1 - 2/3; bigrams a b, b a, a b, b c,
+    # c d -> top 2/5; trigrams all distinct -> 1/4
+    assert got[1] == (3, 0.3333, 0.4, 0.25)
+    assert got[2] == (1, 0.0, 0.0, 0.0)
+    assert got[3] == (0, 0.0, 0.0, 0.0)
+    # doc 4: 8 words; bigrams (7): x y *3, y z *2, z x *2 -> 3/7;
+    # trigrams (6): x y z *2, y z x *2, z x y *2 -> 2/6
+    assert got[4] == (1, 0.0, 0.4286, 0.3333)

@@ -309,3 +309,103 @@ def pack_sequences(
         .withColumn("seq_id", F.floor(start / F.lit(budget)))
         .withColumn("seq_offset", (start % F.lit(budget)).cast("long"))
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the fraction
+    of non-empty lines that are duplicates of another line in the same
+    doc, and the share of the doc's word 2-grams / 3-grams taken by the
+    single most frequent one (templated/boilerplate text scores high on
+    both; Rae et al. 2021 §A1.1 uses these as corpus drop rules).
+
+    Returns (id_col, n_lines, dup_line_frac, top2_frac, top3_frac),
+    fractions rounded to 4 places (cross-engine parity).
+
+    Plan shape: line stats are pure per-row column expressions (no
+    shuffle); n-gram mode requires a (doc, n, gram) count — ONE explode +
+    two map-side-combined aggregations, shuffle ∝ token count with the
+    (id, n, gram) key, never pairwise. At 100 TB this is the same cost
+    class as tokenization itself; no driver-side action anywhere."""
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda s: F.length(F.trim(s)) > 0,
+    )
+    n_lines = F.size(lines)
+    line_stats = df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        F.when(n_lines <= 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                1.0
+                - F.size(F.array_distinct(lines))
+                / n_lines.cast("double"),
+                4,
+            )
+        )
+        .alias("dup_line_frac"),
+    )
+
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    wdf = df.select(F.col(id_col), words.alias("_ws"))
+
+    def _grams(n: int) -> Column:
+        return F.when(
+            F.size("_ws") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("_ws") - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.col("_ws")[i + j] for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # both gram sizes tagged in ONE array -> one explode pass
+    both = F.flatten(
+        F.array(
+            F.transform(
+                _grams(2),
+                lambda g: F.struct(F.lit(2).alias("n"), g.alias("g")),
+            ),
+            F.transform(
+                _grams(3),
+                lambda g: F.struct(F.lit(3).alias("n"), g.alias("g")),
+            ),
+        )
+    )
+    tagged = wdf.select(id_col, F.explode(both).alias("_s")).select(
+        id_col, F.col("_s.n").alias("_n"), F.col("_s.g").alias("_g")
+    )
+    fr = (
+        tagged.groupBy(id_col, "_n", "_g")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col, "_n")
+        .agg(
+            F.round(F.max("_c") / F.sum("_c").cast("double"), 4).alias(
+                "_frac"
+            )
+        )
+    )
+    f2 = fr.filter(F.col("_n") == 2).select(
+        id_col, F.col("_frac").alias("top2_frac")
+    )
+    f3 = fr.filter(F.col("_n") == 3).select(
+        id_col, F.col("_frac").alias("top3_frac")
+    )
+    return (
+        line_stats.join(f2, id_col, "left")
+        .join(f3, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            "dup_line_frac",
+            F.coalesce("top2_frac", F.lit(0.0)).alias("top2_frac"),
+            F.coalesce("top3_frac", F.lit(0.0)).alias("top3_frac"),
+        )
+    )

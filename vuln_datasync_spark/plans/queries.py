@@ -1128,6 +1128,61 @@ def tx_tokens(spark, sf):
 
 
 @q(
+    "tx_repetition_stats",
+    "text analysis: Gopher-style repetition quality signals (dup-line "
+    "fraction, top word-2/3-gram share — operators/corpus.py "
+    "repetition_stats)",
+    r"""WITH lines AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, chr(10)),
+                             s -> trim(s) <> '') AS ls
+          FROM documents
+        ), lstats AS (
+          SELECT doc_id, len(ls) AS n_lines,
+                 CASE WHEN len(ls) <= 0 THEN 0.0
+                      ELSE round(1.0 - len(list_distinct(ls)) * 1.0
+                                 / len(ls), 4) END AS dup_line_frac
+          FROM lines
+        ), words AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, 2 AS n,
+                 unnest(list_transform(generate_series(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i+1])) AS g
+          FROM words WHERE len(ws) >= 2
+          UNION ALL
+          SELECT doc_id, 3,
+                 unnest(list_transform(generate_series(1, len(ws) - 2),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+          FROM words WHERE len(ws) >= 3
+        ), counts AS (
+          SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3
+        ), fr AS (
+          SELECT doc_id, n, round(max(c) * 1.0 / sum(c), 4) AS frac
+          FROM counts GROUP BY 1, 2
+        )
+        SELECT l.doc_id, l.n_lines, l.dup_line_frac,
+               coalesce(f2.frac, 0.0) AS top2_frac,
+               coalesce(f3.frac, 0.0) AS top3_frac
+        FROM lstats l
+        LEFT JOIN fr f2 ON f2.doc_id = l.doc_id AND f2.n = 2
+        LEFT JOIN fr f3 ON f3.doc_id = l.doc_id AND f3.n = 3
+        ORDER BY l.doc_id""",
+    note="one explode + two map-side-combined aggs on the engine side; "
+    "shuffle ∝ token count, no pairwise term, no driver action",
+)
+def tx_repetition(spark, sf):
+    from ..operators.corpus import repetition_stats
+
+    return repetition_stats(
+        _t(spark, sf, "documents"), "text", "doc_id"
+    ).orderBy("doc_id")
+
+
+@q(
     "tx_quality_score",
     "text analysis: document quality scoring (length/punct/token bands)",
     r"""SELECT doc_id, round((
@@ -2745,6 +2800,7 @@ _DRIVER_PRIORITY = [
     "samp_stratified",
     "tx_pack_sequences",
     "dd_index_dedup",
+    "tx_repetition_stats",
     # load-bearing keepers (driver-attested in r02+r03; stay in the window)
     "q1_tpch_pricing_summary",
     "j1_priority_dedup_join",
@@ -2765,7 +2821,6 @@ _DRIVER_PRIORITY = [
     "st_windowed_stats",
     "w1_running_total",
     "w2_sessionization",
-    "tx_token_stats",
     "tx_lang_id",
     "tx_quality_score",
     "mm_binary_metadata",
