@@ -237,3 +237,29 @@ def test_repetition_stats_planted_fractions(spark):
     # doc 4: 8 words; bigrams (7): x y *3, y z *2, z x *2 -> 3/7;
     # trigrams (6): x y z *2, y z x *2, z x y *2 -> 2/6
     assert got[4] == (1, 0.0, 0.4286, 0.3333)
+
+
+def test_pii_scrub_planted(spark):
+    from vuln_datasync_spark.operators.corpus import pii_scrub
+
+    rows = [
+        (1, "mail me at a.b+c@ex-ample.co.uk or root@h.io thanks"),
+        (2, "server 10.0.0.1 and 192.168.255.254 up"),
+        (3, "call 555-867-5309 or 555.123.4567"),
+        (4, "clean text, no pii at all"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_scrub(df, "text", "doc_id").collect()}
+
+    assert got[1]["text_clean"] == "mail me at [EMAIL] or [EMAIL] thanks"
+    assert (got[1]["n_email"], got[1]["n_pii"]) == (2, 2)
+    assert got[2]["text_clean"] == "server [IPV4] and [IPV4] up"
+    assert got[2]["n_ipv4"] == 2 and got[2]["n_email"] == 0
+    assert got[3]["text_clean"] == "call [PHONE] or [PHONE]"
+    assert got[3]["n_phone"] == 2
+    assert got[4]["text_clean"] == rows[3][1] and got[4]["n_pii"] == 0
+    assert got[5]["text_clean"] is None
+
+    with pytest.raises(ValueError, match="unknown"):
+        pii_scrub(df, "text", "doc_id", kinds=("email", "ssn"))

@@ -409,3 +409,51 @@ def repetition_stats(
             F.coalesce("top3_frac", F.lit(0.0)).alias("top3_frac"),
         )
     )
+
+
+# PII patterns: the common Java-regex/RE2 subset (no lookarounds, no
+# backreferences) so Spark and any SQL oracle match byte-for-byte.
+_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
+) -> DataFrame:
+    """Redact PII from a text column and report per-kind hit counts —
+    the pre-training scrub pass (emails, IPv4 addresses, US-style phone
+    numbers -> ``[KIND]`` placeholders).
+
+    Returns (id_col, text_clean, n_email, n_ipv4, n_phone, n_pii).
+    Counts are measured on the ORIGINAL text (so overlapping patterns
+    report what was present, not what survived an earlier replacement);
+    replacements apply in ``kinds`` order, which is part of the
+    operator's contract.
+
+    Plan shape: pure per-row ``regexp_replace`` / ``regexp_extract_all``
+    column expressions — whole-stage codegen, zero shuffle, zero Python;
+    at 100 TB this is a map-only pass that pipelines into whatever scan
+    feeds it. Patterns deliberately stay in the Java-regex/RE2 common
+    subset so the op is value-checkable cross-engine."""
+    unknown = [k for k in kinds if k not in _PII_PATTERNS]
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {unknown}")
+    clean = F.col(text_col)
+    counts = []
+    for k in kinds:
+        pat = _PII_PATTERNS[k]
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{k}")
+        )
+        clean = F.regexp_replace(clean, pat, f"[{k.upper()}]")
+    out = df.select(F.col(id_col), clean.alias("text_clean"), *counts)
+    total = sum((F.col(f"n_{k}") for k in kinds[1:]), F.col(f"n_{kinds[0]}"))
+    return out.withColumn("n_pii", total.cast("long"))

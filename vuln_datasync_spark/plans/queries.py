@@ -1183,6 +1183,76 @@ def tx_repetition(spark, sf):
 
 
 @q(
+    "tx_pii_scrub",
+    "corpus prep: PII redaction + per-kind hit counts (emails / IPv4 / "
+    "phone -> placeholders; operators/corpus.py pii_scrub). PII planted "
+    "deterministically by doc_id rule since the synthetic corpus has "
+    "none",
+    r"""WITH planted AS (
+          SELECT doc_id, text || CASE
+            WHEN doc_id % 7 = 0 THEN ' contact user'
+              || CAST(doc_id AS VARCHAR) || '@example.com now'
+            WHEN doc_id % 11 = 0 THEN ' from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR)
+              || '.1 and call 555-867-5309'
+            ELSE '' END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+            '[EMAIL]', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'),
+            '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS text_clean,
+          len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            AS n_email,
+          len(regexp_extract_all(text,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+          len(regexp_extract_all(text,
+            '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+          len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          + len(regexp_extract_all(text,
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+          + len(regexp_extract_all(text,
+            '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_pii
+        FROM planted ORDER BY doc_id""",
+    note="map-only pass: regexp_replace/extract_all column exprs, "
+    "whole-stage codegen, zero shuffle; patterns kept in the "
+    "Java-regex/RE2 common subset for cross-engine value checks",
+)
+def tx_pii(spark, sf):
+    from ..operators.corpus import pii_scrub
+
+    did = F.col("doc_id")
+    planted = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            )
+            .when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit(".1 and call 555-867-5309"),
+                ),
+            )
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(planted, "text", "doc_id").orderBy("doc_id")
+
+
+@q(
     "tx_quality_score",
     "text analysis: document quality scoring (length/punct/token bands)",
     r"""SELECT doc_id, round((
@@ -2801,6 +2871,7 @@ _DRIVER_PRIORITY = [
     "tx_pack_sequences",
     "dd_index_dedup",
     "tx_repetition_stats",
+    "tx_pii_scrub",
     # load-bearing keepers (driver-attested in r02+r03; stay in the window)
     "q1_tpch_pricing_summary",
     "j1_priority_dedup_join",
@@ -2815,7 +2886,6 @@ _DRIVER_PRIORITY = [
     "dd_ngram_jaccard",
     "dd_simhash_pairs",
     "sim_cosine_topk",
-    "sim_ann_lsh_topk",
     "sim_embedding_neardup",
     "sim_ivf_topk",
     "st_windowed_stats",
