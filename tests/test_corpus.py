@@ -263,3 +263,28 @@ def test_pii_scrub_planted(spark):
 
     with pytest.raises(ValueError, match="unknown"):
         pii_scrub(df, "text", "doc_id", kinds=("email", "ssn"))
+
+
+def test_length_quantiles_known_values(spark):
+    from vuln_datasync_spark.operators.corpus import length_quantiles
+
+    # lang a: token counts 1..4; lang b: single doc of 2 tokens
+    rows = [
+        (1, "a", "w"),
+        (2, "a", "w w"),
+        (3, "a", "w w w"),
+        (4, "a", "w w w w"),
+        (5, "b", "x  y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["lang"]: r.asDict()
+        for r in length_quantiles(df, "text", ["lang"]).collect()
+    }
+    # type-7 on [1,2,3,4]: q50 = 2.5, q90 = 3.7, q99 = 3.97
+    assert got["a"]["n_docs"] == 4 and got["a"]["avg_tokens"] == 2.5
+    assert (got["a"]["q50_tokens"], got["a"]["q90_tokens"], got["a"]["q99_tokens"]) == (2.5, 3.7, 3.97)
+    assert got["b"]["n_docs"] == 1 and got["b"]["q99_tokens"] == 2.0
+
+    approx = length_quantiles(df, "text", ["lang"], exact=False)
+    assert {r["lang"]: r["q50_tokens"] for r in approx.collect()}["b"] == 2.0

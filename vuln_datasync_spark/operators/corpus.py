@@ -457,3 +457,45 @@ def pii_scrub(
     out = df.select(F.col(id_col), clean.alias("text_clean"), *counts)
     total = sum((F.col(f"n_{k}") for k in kinds[1:]), F.col(f"n_{kinds[0]}"))
     return out.withColumn("n_pii", total.cast("long"))
+
+
+def length_quantiles(
+    df: DataFrame,
+    text_col: str,
+    group_cols: list[str],
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group document-length distribution: doc count, mean token
+    count, and token-count quantiles (one ``q<pp>_tokens`` column per
+    requested probability, type-7 linear interpolation) — the corpus
+    profiling pass that drives truncation budgets and length filters.
+
+    ``exact=True`` uses Spark's exact ``percentile``: its partial
+    aggregate is a per-group value->count map, so memory is bounded by
+    DISTINCT lengths per group (small — lengths are integers bounded by
+    the longest doc), not rows; safe at 100 TB for length-like columns
+    and bit-identical to SQL quantile_cont for oracle checks. For
+    unbounded-cardinality columns set ``exact=False`` to switch to
+    ``percentile_approx`` (t-digest, fixed memory) — approximate, so no
+    value oracle applies."""
+    from ..functions.text import token_count
+
+    tc = token_count(text_col).cast("double")
+    fn = "percentile" if exact else "percentile_approx"
+    qs = [
+        F.round(
+            F.expr(f"{fn}(_tc, {p!r})"),
+            4,
+        ).alias(f"q{int(round(p * 100)):02d}_tokens")
+        for p in probs
+    ]
+    return (
+        df.select(*group_cols, tc.alias("_tc"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("_tc"), 4).alias("avg_tokens"),
+            *qs,
+        )
+    )

@@ -1183,6 +1183,34 @@ def tx_repetition(spark, sf):
 
 
 @q(
+    "tx_length_quantiles",
+    "corpus profiling: per-language token-count distribution (exact "
+    "type-7 quantiles; operators/corpus.py length_quantiles)",
+    r"""WITH t AS (
+          SELECT lang,
+                 CAST(len(list_filter(string_split_regex(text, '\s+'),
+                          x -> x <> '')) AS DOUBLE) AS tc
+          FROM documents
+        )
+        SELECT lang, count(*) AS n_docs,
+               round(avg(tc), 4) AS avg_tokens,
+               round(quantile_cont(tc, 0.5), 4) AS q50_tokens,
+               round(quantile_cont(tc, 0.9), 4) AS q90_tokens,
+               round(quantile_cont(tc, 0.99), 4) AS q99_tokens
+        FROM t GROUP BY lang ORDER BY lang""",
+    note="exact percentile's partial agg is a value->count map: memory "
+    "∝ distinct lengths per group, not rows — safe for length-like "
+    "columns; percentile_approx offered for unbounded columns",
+)
+def tx_length_q(spark, sf):
+    from ..operators.corpus import length_quantiles
+
+    return length_quantiles(
+        _t(spark, sf, "documents"), "text", ["lang"]
+    ).orderBy("lang")
+
+
+@q(
     "tx_pii_scrub",
     "corpus prep: PII redaction + per-kind hit counts (emails / IPv4 / "
     "phone -> placeholders; operators/corpus.py pii_scrub). PII planted "
@@ -2872,6 +2900,7 @@ _DRIVER_PRIORITY = [
     "dd_index_dedup",
     "tx_repetition_stats",
     "tx_pii_scrub",
+    "tx_length_quantiles",
     # load-bearing keepers (driver-attested in r02+r03; stay in the window)
     "q1_tpch_pricing_summary",
     "j1_priority_dedup_join",
@@ -2889,7 +2918,6 @@ _DRIVER_PRIORITY = [
     "sim_embedding_neardup",
     "sim_ivf_topk",
     "st_windowed_stats",
-    "w1_running_total",
     "w2_sessionization",
     "tx_lang_id",
     "tx_quality_score",
