@@ -1,0 +1,139 @@
+"""ManifestTable.read_changes — row-level change data feed between two
+snapshots (Iceberg changelog-scan / Delta CDF analog), incl. bucket
+pruning: untouched buckets must not be scanned."""
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vuln_datasync_spark.sinks.manifest_table import ManifestTable
+from vuln_datasync_spark.streaming.pipeline import apply_batch
+
+CHANGELOG_SCHEMA = T.StructType(
+    [
+        T.StructField("commit_seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("size_bytes", T.LongType()),
+    ]
+)
+
+
+def _batch(spark, table, rows, bid):
+    apply_batch(
+        spark.createDataFrame(rows, CHANGELOG_SCHEMA), table, "cf", bid
+    )
+
+
+def _feed(table, frm, to=None):
+    return {
+        (r["repo"], r["path"]): (r["_change_type"], r["content"])
+        for r in table.read_changes(frm, to).collect()
+    }
+
+
+def test_change_feed_insert_update_delete(spark, tmp_path):
+    table = ManifestTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    _batch(
+        spark,
+        table,
+        [
+            (1, "insert", "r1", "a.py", "c1", "python", "v1", None, None),
+            (2, "insert", "r1", "b.py", "c2", "python", "v2", None, None),
+            (3, "insert", "r2", "c.go", "c3", "go", "v3", None, None),
+        ],
+        0,
+    )
+    s1 = table.current_snapshot_id()
+    _batch(
+        spark,
+        table,
+        [
+            (4, "update", "r1", "a.py", "c4", "python", "v4", None, None),
+            (5, "delete", "r1", "b.py", "c5", None, None, None, None),
+            (6, "insert", "r3", "d.rs", "c6", "rust", "v6", None, None),
+        ],
+        1,
+    )
+    s2 = table.current_snapshot_id()
+
+    # from None -> s1: everything is an insert
+    assert _feed(table, None, s1) == {
+        ("r1", "a.py"): ("insert", "v1"),
+        ("r1", "b.py"): ("insert", "v2"),
+        ("r2", "c.go"): ("insert", "v3"),
+    }
+    # s1 -> s2: one update, one delete (old values), one insert;
+    # untouched key (r2, c.go) absent
+    assert _feed(table, s1, s2) == {
+        ("r1", "a.py"): ("update", "v4"),
+        ("r1", "b.py"): ("delete", "v2"),
+        ("r3", "d.rs"): ("insert", "v6"),
+    }
+    # identical snapshots: empty feed with the full output schema
+    same = table.read_changes(s2, s2)
+    assert same.count() == 0
+    assert "_change_type" in same.columns and "content" in same.columns
+
+
+def test_change_feed_prunes_untouched_buckets(spark, tmp_path):
+    table = ManifestTable.create(spark, str(tmp_path / "t"), n_buckets=8)
+    rows = [
+        (i, "insert", f"r{i}", "f.py", f"c{i}", "python", f"v{i}", None, None)
+        for i in range(40)
+    ]
+    _batch(spark, table, rows, 0)
+    s1 = table.current_snapshot_id()
+    _batch(
+        spark,
+        table,
+        [(100, "update", "r0", "f.py", "cX", "python", "vX", None, None)],
+        1,
+    )
+    s2 = table.current_snapshot_id()
+
+    feed = table.read_changes(s1, s2)
+    assert _feed(table, s1, s2) == {("r0", "f.py"): ("update", "vX")}
+    # plan must read only the touched bucket's files, not the table
+    ma, mb = table.manifest(s1), table.manifest(s2)
+    changed = [
+        b for b in set(ma["files"]) | set(mb["files"])
+        if sorted(ma["files"].get(b, ())) != sorted(mb["files"].get(b, ()))
+    ]
+    assert len(changed) == 1
+    scan = feed._jdf.queryExecution().optimizedPlan().toString()
+    untouched = set(ma["files"]) - set(changed)
+    assert untouched and not any(
+        f"bucket={b}/" in scan or f"/{p}" in scan
+        for b in untouched
+        for p in ma["files"][b]
+    )
+
+
+def test_change_feed_schema_evolution_and_errors(spark, tmp_path):
+    import pytest
+
+    table = ManifestTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    _batch(
+        spark,
+        table,
+        [(1, "insert", "r1", "a.py", "c1", "python", "v1", None, None)],
+        0,
+    )
+    s1 = table.current_snapshot_id()
+    # column-add between snapshots: merge a frame with an extra column
+    extra = spark.createDataFrame(
+        [(2, "update", "r1", "a.py", "c2", "python", "v1b", None, None, "x")],
+        CHANGELOG_SCHEMA.add("branch", T.StringType()),
+    )
+    apply_batch(extra, table, "cf", 1)
+    s2 = table.current_snapshot_id()
+    feed = table.read_changes(s1, s2).collect()
+    assert [(r["_change_type"], r["branch"]) for r in feed] == [("update", "x")]
+
+    with pytest.raises(ValueError, match="unknown base"):
+        table.read_changes("nope", s2)
