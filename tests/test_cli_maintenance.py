@@ -294,3 +294,37 @@ def test_optimistic_commit_conflict_detected(spark, tmp_path):
     m["snapshot_id"] = "zzz-conflict"
     with pytest.raises(RuntimeError, match="concurrent commit"):
         t._commit(m, expected_parent=stale_parent)
+
+
+def test_cli_changes_feed(spark, tmp_path, capsys, monkeypatch):
+    monkeypatch.setattr(cli, "_spark", lambda args: spark)
+    tbl = str(tmp_path / "cftbl")
+    table = ManifestTable.create(spark, tbl, n_buckets=4)
+    apply_batch(
+        spark.createDataFrame(
+            [(1, "insert", "r1", "a.py", "c1", "python", "v1", None, None)],
+            CHANGELOG_SCHEMA,
+        ),
+        table, "c", 0,
+    )
+    s1 = table.current_snapshot_id()
+    apply_batch(
+        spark.createDataFrame(
+            [
+                (2, "update", "r1", "a.py", "c2", "python", "v2", None, None),
+                (3, "insert", "r2", "b.py", "c3", "python", "v3", None, None),
+            ],
+            CHANGELOG_SCHEMA,
+        ),
+        table, "c", 1,
+    )
+
+    assert cli.main(["changes", "--table", tbl, "--since", s1, "--summary"]) == 0
+    counts = json.loads(capsys.readouterr().out.strip())
+    assert counts == {"insert": 1, "update": 1}
+
+    assert cli.main(["changes", "--table", tbl, "--since", s1]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert {(r["repo"], r["_change_type"]) for r in lines} == {
+        ("r1", "update"), ("r2", "insert")
+    }

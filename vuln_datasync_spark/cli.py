@@ -99,6 +99,25 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_changes(args) -> int:
+    """Print the row-level change feed between two snapshots as JSON
+    lines (insert/update/delete; see ManifestTable.read_changes)."""
+    from pyspark.sql import functions as F
+
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    cf = table.read_changes(args.since, args.to)
+    if args.summary:
+        rows = cf.groupBy("_change_type").count().collect()
+        print(json.dumps({r["_change_type"]: r["count"] for r in rows}))
+        return 0
+    for line in cf.toJSON().toLocalIterator():
+        print(line)
+    return 0
+
+
 def cmd_stats(args) -> int:
     from pyspark.sql import functions as F
 
@@ -285,6 +304,23 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--compress", action="store_true")
     e.add_argument("--snapshot", default=None)
     e.set_defaults(fn=cmd_export)
+
+    ch = sub.add_parser(
+        "changes", help="row-level change feed between two snapshots"
+    )
+    ch.add_argument("--table", required=True)
+    ch.add_argument(
+        "--since", default=None,
+        help="base snapshot id (exclusive; default: empty table)",
+    )
+    ch.add_argument(
+        "--to", default=None, help="target snapshot id (default: current)"
+    )
+    ch.add_argument(
+        "--summary", action="store_true",
+        help="print per-change-type counts instead of rows",
+    )
+    ch.set_defaults(fn=cmd_changes)
 
     st = sub.add_parser("stats", help="table + lineage summary")
     st.add_argument("--table", required=True)
