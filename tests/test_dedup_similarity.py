@@ -355,3 +355,35 @@ def test_dedup_clusters_transitive_and_singletons(spark):
         20: (20, True), 21: (20, False), 22: (20, False), 23: (20, False),
         99: (99, True),
     }
+
+
+def test_quantize_dequantize_roundtrip(spark):
+    from vuln_datasync_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    rows = [
+        (1, [1.0, -2.0, 0.5], 7),
+        (2, [0.0, 0.0, 0.0], 8),   # all-zero -> scale 0, null qvec
+        (3, None, 9),              # null vector
+        (4, [-127.0, 127.0, 63.5], 10),
+    ]
+    schema = "vec_id long, embedding array<float>, label int"
+    df = spark.createDataFrame(rows, schema)
+    q = quantize_embeddings(df, "embedding", "vec_id", ("label",))
+    got = {r["vec_id"]: r.asDict() for r in q.collect()}
+
+    assert got[1]["scale"] == 2.0 / 127.0
+    assert got[1]["qvec"] == [64, -127, 32]  # floor(x/scale+0.5)
+    assert got[2]["scale"] == 0.0 and got[2]["qvec"] is None
+    assert got[3]["scale"] == 0.0 and got[3]["qvec"] is None
+    assert got[4]["qvec"] == [-127, 127, 64]
+    assert got[4]["label"] == 10
+
+    # roundtrip error bounded by scale/2
+    dq = dequantize_embeddings(q.filter("qvec IS NOT NULL"))
+    for r in dq.collect():
+        orig = {i: v for i, v, _ in rows}[r["vec_id"]]
+        for a, b in zip(r["vec"], orig):
+            assert abs(a - b) <= r["scale"] / 2 + 1e-12

@@ -511,3 +511,57 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), id_col)
         .limit(k)
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max|v| / 127,
+    q_i = floor(v_i / scale + 0.5) — shrinks ANN index storage ~4x
+    (float32 -> int8 + one double scale) with cosine rank preserved to
+    ~1e-2, the standard payload trim before a 10^10-vector index.
+
+    Returns (id_col, *keep_cols, scale double, qvec array<int>). An
+    all-zero (or null) vector gets scale 0.0 / null qvec.
+
+    The rounding is spelled floor(x + 0.5) rather than round() and the
+    arithmetic runs in a fixed order (cast to double, divide by the
+    precomputed scale) so the result is bit-identical in any IEEE-754
+    engine — this keeps the op value-checkable against a SQL oracle.
+    Plan: pure per-row array exprs (transform/array_max) — map-only,
+    whole-stage codegen, no shuffle, no Python."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = (maxabs / F.lit(127.0)).alias("scale")
+    qvec = F.when(
+        maxabs > 0,
+        F.transform(
+            v,
+            lambda x: F.floor(x / (maxabs / F.lit(127.0)) + F.lit(0.5)).cast(
+                "int"
+            ),
+        ),
+    ).alias("qvec")
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.coalesce(scale, F.lit(0.0)).alias("scale"),
+        qvec,
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame, qvec_col: str = "qvec", scale_col: str = "scale"
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: v_i ≈ q_i * scale, as
+    array<double> in a ``vec`` column (max abs error ≤ scale / 2)."""
+    return df.withColumn(
+        "vec",
+        F.transform(
+            F.col(qvec_col),
+            lambda q: q.cast("double") * F.col(scale_col),
+        ),
+    )

@@ -1183,6 +1183,37 @@ def tx_repetition(spark, sf):
 
 
 @q(
+    "sim_quantize_int8",
+    "similarity: symmetric int8 embedding quantization (scale = "
+    "max|v|/127, floor(x/scale + 0.5); operators/similarity.py "
+    "quantize_embeddings) — 4x index-storage trim before ANN",
+    r"""WITH m AS (
+          SELECT vec_id, label, embedding,
+                 list_aggregate(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs
+          FROM embeddings
+        )
+        SELECT vec_id, label,
+               coalesce(maxabs / 127.0, 0.0) AS scale,
+               CASE WHEN maxabs > 0 THEN
+                 list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) / (maxabs / 127.0) + 0.5)
+                        AS INTEGER))
+               END AS qvec
+        FROM m ORDER BY vec_id""",
+    note="map-only transform/array_max exprs; rounding spelled "
+    "floor(x+0.5) in a fixed IEEE op order so any SQL engine "
+    "reproduces it bit-for-bit",
+)
+def sim_quant(spark, sf):
+    from ..operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(
+        _t(spark, sf, "embeddings"), "embedding", "vec_id", ("label",)
+    ).orderBy("vec_id")
+
+
+@q(
     "tx_length_quantiles",
     "corpus profiling: per-language token-count distribution (exact "
     "type-7 quantiles; operators/corpus.py length_quantiles)",
@@ -2901,6 +2932,7 @@ _DRIVER_PRIORITY = [
     "tx_repetition_stats",
     "tx_pii_scrub",
     "tx_length_quantiles",
+    "sim_quantize_int8",
     # load-bearing keepers (driver-attested in r02+r03; stay in the window)
     "q1_tpch_pricing_summary",
     "j1_priority_dedup_join",
@@ -2921,7 +2953,6 @@ _DRIVER_PRIORITY = [
     "w2_sessionization",
     "tx_lang_id",
     "tx_quality_score",
-    "mm_binary_metadata",
     "mm_extract_features",
 ]
 
