@@ -387,3 +387,32 @@ def test_quantize_dequantize_roundtrip(spark):
         orig = {i: v for i, v, _ in rows}[r["vec_id"]]
         for a, b in zip(r["vec"], orig):
             assert abs(a - b) <= r["scale"] / 2 + 1e-12
+
+
+def test_quantized_cosine_preserves_topk_rank(spark):
+    """Scale cancels in cosine, so ranking over int8 qvecs must track the
+    float ranking closely — the property that justifies the 4x trim."""
+    import numpy as np
+
+    from vuln_datasync_spark.operators.similarity import (
+        cosine_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(42)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    qv = [float(x) for x in rng.standard_normal(16)]
+
+    exact = [r["vec_id"] for r in cosine_topk(df, "embedding", "vec_id", qv, k=10).collect()]
+    deq = dequantize_embeddings(
+        quantize_embeddings(df, "embedding", "vec_id")
+    ).select("vec_id", F.col("vec").alias("embedding"))
+    approx = [r["vec_id"] for r in cosine_topk(deq, "embedding", "vec_id", qv, k=10).collect()]
+
+    assert len(set(exact) & set(approx)) >= 9
+    assert exact[0] == approx[0]
