@@ -137,3 +137,94 @@ def test_change_feed_schema_evolution_and_errors(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown base"):
         table.read_changes("nope", s2)
+
+
+def test_consume_changes_cursor_and_resume(spark, tmp_path):
+    import pytest
+
+    table = ManifestTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    seen = []
+
+    def handler(feed, frm, to):
+        seen.append(
+            (frm, to, sorted((r["repo"], r["_change_type"]) for r in feed.collect()))
+        )
+
+    # nothing committed yet -> no-op
+    assert table.consume_changes("idx", handler) is None
+
+    _batch(
+        spark, table,
+        [(1, "insert", "r1", "a.py", "c1", "python", "v1", None, None)], 0,
+    )
+    rec = table.consume_changes("idx", handler)
+    assert rec["from_snapshot_id"] is None
+    assert seen[-1][2] == [("r1", "insert")]
+
+    # no new snapshot -> None, handler not called again
+    assert table.consume_changes("idx", handler) is None
+    assert len(seen) == 1
+
+    # two more batches, consumed in ONE window from the cursor
+    _batch(
+        spark, table,
+        [(2, "update", "r1", "a.py", "c2", "python", "v2", None, None)], 1,
+    )
+    _batch(
+        spark, table,
+        [(3, "insert", "r2", "b.py", "c3", "python", "v3", None, None)], 2,
+    )
+    rec2 = table.consume_changes("idx", handler)
+    assert rec2["from_snapshot_id"] == rec["snapshot_id"]
+    assert seen[-1][2] == [("r1", "update"), ("r2", "insert")]
+
+    # a second consumer has its own cursor: sees everything from scratch
+    table.consume_changes("other", handler)
+    assert seen[-1][2] == [("r1", "insert"), ("r2", "insert")]
+
+    # handler crash must NOT advance the cursor (at-least-once)
+    _batch(
+        spark, table,
+        [(4, "delete", "r2", "b.py", "c4", None, None, None, None)], 3,
+    )
+    with pytest.raises(RuntimeError):
+        table.consume_changes("idx", lambda *a: (_ for _ in ()).throw(RuntimeError("boom")))
+    assert table.feed_cursor("idx") == rec2["snapshot_id"]
+    table.consume_changes("idx", handler)
+    assert seen[-1][2] == [("r2", "delete")]
+
+    with pytest.raises(ValueError, match="consumer_id"):
+        table.consume_changes("../evil", handler)
+
+
+def test_consume_changes_expired_base(spark, tmp_path, monkeypatch):
+    import os
+
+    import pytest
+
+    table = ManifestTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    _batch(
+        spark, table,
+        [(1, "insert", "r1", "a.py", "c1", "python", "v1", None, None)], 0,
+    )
+    table.consume_changes("idx", lambda *a: None)
+    cur = table.feed_cursor("idx")
+    _batch(
+        spark, table,
+        [(2, "insert", "r2", "b.py", "c2", "python", "v2", None, None)], 1,
+    )
+    # simulate snapshot expiry of the cursor's base manifest
+    os.remove(os.path.join(str(tmp_path / "t"), "_manifests", f"{cur}.json"))
+
+    with pytest.raises(ValueError, match="expired"):
+        table.consume_changes("idx", lambda *a: None)
+
+    got = []
+    table.consume_changes(
+        "idx", lambda f, a, b: got.extend(f.collect()),
+        reset_on_missing_base=True,
+    )
+    # re-seeded: full feed, every live row as insert
+    assert sorted((r["repo"], r["_change_type"]) for r in got) == [
+        ("r1", "insert"), ("r2", "insert"),
+    ]

@@ -41,6 +41,7 @@ import glob
 import json
 import logging
 import os
+import re
 import time
 import uuid
 
@@ -741,6 +742,78 @@ class ManifestTable:
         pd.DataFrame([row]).to_parquet(out + ".tmp", index=False)
         os.replace(out + ".tmp", out)
         return row
+
+    # ---------- change-feed consumers ----------
+
+    def feed_cursor(self, consumer_id: str) -> str | None:
+        """Last snapshot this consumer has fully processed (None = never
+        consumed)."""
+        c = self._read_json(
+            os.path.join(self.root, "_feeds", f"{consumer_id}.json")
+        )
+        return c["snapshot_id"] if c else None
+
+    def consume_changes(
+        self,
+        consumer_id: str,
+        handler,
+        reset_on_missing_base: bool = False,
+    ) -> dict | None:
+        """Deliver the row-level change feed accumulated since this
+        consumer's cursor (the subscriber half of :meth:`read_changes` —
+        how a downstream index/export job tails the table), then advance
+        the per-consumer cursor under ``_feeds/``.
+
+        ``handler(feed_df, from_sid, to_sid)`` runs BEFORE the cursor
+        moves, so delivery is at-least-once: a crash between handler
+        success and the cursor write replays the same (from, to) window
+        — handlers must be idempotent on that pair, the same contract
+        foreachBatch gives epoch ids. Returns the advance record, or
+        None when there is nothing new.
+
+        If snapshot expiry removed the cursor's base manifest, the diff
+        is no longer computable: with ``reset_on_missing_base`` the
+        consumer is re-seeded with a full feed (every live row as an
+        insert — the bootstrap resync); otherwise a ValueError names
+        the expired base. Cost per call is the read_changes cost: ∝
+        touched buckets between the cursor and now, never table size."""
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", consumer_id):
+            raise ValueError(f"invalid consumer_id: {consumer_id!r}")
+        cur = self.feed_cursor(consumer_id)
+        to = self.current_snapshot_id()
+        if to is None or to == cur:
+            return None
+        if cur is not None and self.manifest(cur) is None:
+            if not reset_on_missing_base:
+                raise ValueError(
+                    f"consume_changes: base snapshot {cur} of consumer "
+                    f"{consumer_id!r} was expired; pass "
+                    "reset_on_missing_base=True to re-seed with a full "
+                    "feed"
+                )
+            logger.warning(
+                "feed consumer %s: base %s expired, re-seeding with a "
+                "full feed",
+                consumer_id,
+                cur,
+            )
+            cur = None
+        handler(self.read_changes(cur, to), cur, to)
+        fdir = os.path.join(self.root, "_feeds")
+        os.makedirs(fdir, exist_ok=True)
+        rec = {
+            "consumer_id": consumer_id,
+            "snapshot_id": to,
+            "from_snapshot_id": cur,
+            "advanced_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+        }
+        out = os.path.join(fdir, f"{consumer_id}.json")
+        with open(out + ".tmp", "w") as f:
+            json.dump(rec, f)
+        os.replace(out + ".tmp", out)
+        return rec
 
     def read_exports(self) -> DataFrame:
         edir = os.path.join(self.root, "_exports")
