@@ -1,0 +1,99 @@
+"""sync_ann_index: CDC change feed -> incremental ANN index maintenance
+(bootstrap build, delta upsert, sidecar-guided delete, cursor no-op)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from vuln_datasync_spark.pipelines.index_sync import sync_ann_index
+from vuln_datasync_spark.sinks.manifest_table import ManifestTable
+
+DIM = 8
+SCHEMA = (
+    "vec_id long, commit_seq long, commit string, op string, "
+    "embedding array<double>"
+)
+
+
+def _vec(rng):
+    return [float(x) for x in rng.standard_normal(DIM)]
+
+
+def _merge(spark, table, rows, bid):
+    table.merge(spark.createDataFrame(rows, SCHEMA), "ix", bid)
+
+
+def test_sync_ann_index_end_to_end(spark, tmp_path):
+    rng = np.random.default_rng(7)
+    table = ManifestTable.create(
+        spark, str(tmp_path / "vt"), n_buckets=4, key_cols=("vec_id",)
+    )
+    idx = str(tmp_path / "idx")
+
+    base = {i: _vec(rng) for i in range(20)}
+    _merge(
+        spark, table,
+        [(i, i, f"c{i}", "insert", v) for i, v in base.items()], 0,
+    )
+    rec = sync_ann_index(table, idx, "embedding", DIM)
+    assert rec["bootstrap"] is True
+    assert spark.read.parquet(idx).select("id").distinct().count() == 20
+
+    # already current -> None, index untouched
+    assert sync_ann_index(table, idx, "embedding", DIM) is None
+
+    # delta: update vec 0, delete vec 1, insert vec 20
+    v0_new, v20 = _vec(rng), _vec(rng)
+    _merge(
+        spark, table,
+        [
+            (0, 100, "c100", "update", v0_new),
+            (1, 101, "c101", "delete", None),
+            (20, 102, "c102", "insert", v20),
+        ],
+        1,
+    )
+    rec2 = sync_ann_index(table, idx, "embedding", DIM)
+    assert rec2["deleted_ids"] == 1 and rec2["touched_partitions"] > 0
+
+    after = spark.read.parquet(idx)
+    ids = {r["id"] for r in after.select("id").distinct().collect()}
+    assert 1 not in ids and 20 in ids and len(ids) == 20
+    # updated vector replaced everywhere (no stale copy of the old v0)
+    v0_rows = after.filter(F.col("id") == 0).select("vec").collect()
+    assert v0_rows and all(
+        [round(x, 6) for x in r["vec"]] == [round(x, 6) for x in v0_new]
+        for r in v0_rows
+    )
+    # sidecar no longer tracks the deleted id
+    side = spark.read.parquet(f"{idx}/_ids")
+    assert side.filter(F.col("id") == 1).count() == 0
+    assert side.filter(F.col("id") == 20).count() == 1
+
+    # index results match a fresh full rebuild on the live table
+    from vuln_datasync_spark.operators.similarity import (
+        ann_index_topk,
+        build_ann_index,
+    )
+
+    q = v20
+    got = [
+        (r["id"], r["cosine"])
+        for r in ann_index_topk(spark, idx, q, k=5).collect()
+    ]
+    rebuilt = str(tmp_path / "idx_full")
+    build_ann_index(table.read(), "embedding", "vec_id", DIM, rebuilt)
+    want = [
+        (r["id"], r["cosine"])
+        for r in ann_index_topk(spark, rebuilt, q, k=5).collect()
+    ]
+    assert got == want
+
+
+def test_sync_ann_index_requires_single_key(spark, tmp_path):
+    import pytest
+
+    table = ManifestTable.create(
+        spark, str(tmp_path / "t2"), n_buckets=2, key_cols=("a", "b")
+    )
+    with pytest.raises(ValueError, match="single-key"):
+        sync_ann_index(table, str(tmp_path / "i"), "embedding", DIM)

@@ -297,6 +297,7 @@ def upsert_ann_index(
     bands: int = 4,
     seed: int = 42,
     max_static_filter: int = 100_000,
+    delete_ids: DataFrame | None = None,
 ) -> dict:
     """Incremental index maintenance: fold a delta of vectors into an
     existing index by rewriting ONLY the (band, bucket) partitions the
@@ -320,7 +321,14 @@ def upsert_ann_index(
     id-hash partitions are upserted the same way. The rewrite
     re-coalesces each touched cell — upsert is self-compacting, no
     separate small-file hook needed. I/O ∝ touched-partition volume,
-    never table size."""
+    never table size.
+
+    ``delete_ids`` (a frame whose first column holds ids, e.g. the
+    ``delete`` rows of a :meth:`ManifestTable.read_changes` feed)
+    removes those ids from the index entirely — their cells are found
+    via the sidecar (never a scan) and rewritten without them. Requires
+    the sidecar (raises otherwise: without stored signatures a delete
+    would need a full index scan)."""
     import glob as _glob
 
     spark = df.sparkSession
@@ -337,21 +345,52 @@ def upsert_ann_index(
     new_sidecar = _sidecar_rows(with_sig)
     delta_ids = with_sig.select("id").distinct()
 
-    # previous signatures of re-published ids — read ONLY the delta's
-    # id-hash cells of the sidecar
     side_path = _sidecar_path(out_path)
     have_sidecar = bool(_glob.glob(f"{side_path}/id_bucket=*"))
+    drop_ids = None
+    if delete_ids is not None:
+        if not have_sidecar:
+            raise ValueError(
+                "upsert_ann_index: delete_ids requires the _ids sidecar "
+                "(rebuild the index to get one) — without stored "
+                "signatures a delete would need a full index scan"
+            )
+        id_type = existing.schema["id"].dataType
+        drop_ids = (
+            delete_ids.select(
+                F.col(delete_ids.columns[0]).cast(id_type).alias("id")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    # every id being replaced OR removed must vanish from its old cells
+    all_ids = (
+        delta_ids
+        if drop_ids is None
+        else delta_ids.unionByName(drop_ids).distinct()
+    )
+
+    # previous signatures of re-published/deleted ids — read ONLY those
+    # ids' id-hash cells of the sidecar
     old_cells = None
     touched_id_buckets: list[int] = []
     if have_sidecar:
+        bucket_src = new_sidecar.select("id_bucket")
+        if drop_ids is not None:
+            bucket_src = bucket_src.unionByName(
+                drop_ids.select(
+                    F.pmod(F.xxhash64("id"), F.lit(_N_ID_BUCKETS)).alias(
+                        "id_bucket"
+                    )
+                )
+            )
         touched_id_buckets = sorted(
-            r["id_bucket"]
-            for r in new_sidecar.select("id_bucket").distinct().collect()
+            r["id_bucket"] for r in bucket_src.distinct().collect()
         )
         side = spark.read.parquet(side_path).filter(
             F.col("id_bucket").isin(touched_id_buckets)
         )
-        old_sigs = side.join(delta_ids, "id", "left_semi")
+        old_sigs = side.join(all_ids, "id", "left_semi")
         old_cells = old_sigs.select(
             F.posexplode(
                 F.array(*_band_cols("lsh_sig", n_planes, bands))
@@ -384,7 +423,7 @@ def upsert_ann_index(
     else:
         tdf = cells.distinct()
         existing = existing.join(F.broadcast(tdf), ["band", "bucket"])
-    kept = existing.join(delta_ids, "id", "left_anti").select(
+    kept = existing.join(all_ids, "id", "left_anti").select(
         "id", "vec", "band", "bucket"
     )
     merged = (
@@ -421,7 +460,7 @@ def upsert_ann_index(
             side_kept = (
                 spark.read.parquet(side_path)
                 .filter(F.col("id_bucket").isin(touched_id_buckets))
-                .join(delta_ids, "id", "left_anti")
+                .join(all_ids, "id", "left_anti")
             )
             side_merged = side_kept.unionByName(
                 new_sidecar
@@ -429,11 +468,24 @@ def upsert_ann_index(
             side_merged.repartition("id_bucket").write.partitionBy(
                 "id_bucket"
             ).mode("overwrite").parquet(side_path)
+            # same vacated-partition rule as the index cells: dynamic
+            # overwrite skips an id_bucket whose rows all belonged to
+            # deleted ids — clear it so their sidecar entries don't
+            # survive (bounded: <= _N_ID_BUCKETS dirs)
+            present_sb = {
+                r["id_bucket"]
+                for r in side_merged.select("id_bucket").distinct().collect()
+            }
+            for sb in set(touched_id_buckets) - present_sb:
+                cell = _os.path.join(side_path, f"id_bucket={sb}")
+                if _g.glob(_os.path.join(cell, "*")):
+                    _sh.rmtree(cell, ignore_errors=True)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return {
         "touched_partitions": len(touched),
         "touched_id_buckets": len(touched_id_buckets),
+        "deleted_ids": drop_ids.count() if drop_ids is not None else 0,
     }
 
 

@@ -10,3 +10,4 @@ from .advisory_ingest import (  # noqa: F401
     to_canonical,
 )
 from .corpus_prep import prepare_training_corpus  # noqa: F401
+from .index_sync import sync_ann_index  # noqa: F401

@@ -1,0 +1,98 @@
+"""Change-feed -> ANN-index synchronization.
+
+Composes the two incremental halves the engine already has into the
+search-index-maintenance loop a vector corpus needs (reference analog:
+the incremental since-watermark sync consumers,
+/root/reference/sql/vulnerabilities.sql:128-132):
+
+    ManifestTable (vectors, CDC-merged)
+        └─ consume_changes(consumer)       rows changed since the cursor
+             └─ upsert_ann_index           rewrite only touched cells
+                (insert/update -> upsert; delete -> sidecar-guided drop)
+
+Every step is ∝ the delta: the feed reads only buckets whose manifest
+file lists changed, the index rewrite touches only the delta's
+(band, bucket) cells, deletes find their cells via the ``_ids`` sidecar.
+Nothing in the loop scales with table or index size, so the same call
+services a 10^10-vector corpus. Delivery is at-least-once off the feed
+cursor and the index write is an idempotent overwrite of the same cells,
+so a crash between index write and cursor advance is safe to replay.
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+
+from pyspark.sql import functions as F
+
+from ..operators.similarity import build_ann_index, upsert_ann_index
+from ..sinks.manifest_table import ManifestTable
+
+logger = logging.getLogger(__name__)
+
+
+def sync_ann_index(
+    table: ManifestTable,
+    index_path: str,
+    vec_col: str,
+    dim: int,
+    consumer_id: str = "ann-index",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    reset_on_missing_base: bool = False,
+) -> dict | None:
+    """Advance ``index_path`` to the table's current snapshot. Returns
+    the feed-advance record annotated with the index-maintenance stats,
+    or None when the index is already current.
+
+    The table must be single-key (the key is the vector id). First call
+    (or a re-seed after the cursor's base snapshot expired) bulk-builds
+    the index from the full feed; later calls upsert only the delta."""
+    if len(table.key_cols) != 1:
+        raise ValueError(
+            "sync_ann_index needs a single-key table (the vector id); "
+            f"got key_cols={table.key_cols}"
+        )
+    id_col = table.key_cols[0]
+    stats: dict = {}
+
+    def handler(feed, frm, to):
+        ups = feed.filter(
+            F.col("_change_type").isin("insert", "update")
+        ).select(id_col, vec_col)
+        have_index = bool(glob.glob(f"{index_path}/band=*"))
+        if frm is None or not have_index:
+            # bootstrap / re-seed: the feed IS the full live table
+            build_ann_index(
+                ups, vec_col, id_col, dim, index_path, n_planes, bands, seed
+            )
+            stats["bootstrap"] = True
+            return
+        dels = feed.filter(F.col("_change_type") == "delete").select(id_col)
+        # a tiny action on the (delta-sized) feed decides whether the
+        # delete path runs at all
+        n_dels = dels.count()
+        stats.update(
+            upsert_ann_index(
+                ups,
+                vec_col,
+                id_col,
+                dim,
+                index_path,
+                n_planes,
+                bands,
+                seed,
+                delete_ids=dels if n_dels else None,
+            )
+        )
+
+    rec = table.consume_changes(
+        consumer_id, handler, reset_on_missing_base=reset_on_missing_base
+    )
+    if rec is None:
+        return None
+    rec.update(stats)
+    logger.info("sync_ann_index advanced to %s: %s", rec["snapshot_id"], stats)
+    return rec
