@@ -97,3 +97,25 @@ def test_sync_ann_index_requires_single_key(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="single-key"):
         sync_ann_index(table, str(tmp_path / "i"), "embedding", DIM)
+
+
+def test_cli_sync_index(spark, tmp_path, capsys, monkeypatch):
+    import json
+
+    from vuln_datasync_spark import cli
+
+    monkeypatch.setattr(cli, "_spark", lambda args: spark)
+    rng = np.random.default_rng(11)
+    tbl = str(tmp_path / "vt")
+    table = ManifestTable.create(spark, tbl, n_buckets=4, key_cols=("vec_id",))
+    _merge(
+        spark, table,
+        [(i, i, f"c{i}", "insert", _vec(rng)) for i in range(10)], 0,
+    )
+    idx = str(tmp_path / "idx")
+    argv = ["sync-index", "--table", tbl, "--index", idx, "--dim", str(DIM)]
+    assert cli.main(argv) == 0
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec.get("bootstrap") is True
+    assert cli.main(argv) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == {"status": "current"}

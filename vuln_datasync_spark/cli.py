@@ -258,6 +258,27 @@ def cmd_corpus_stream(args) -> int:
     return 0
 
 
+def cmd_sync_index(args) -> int:
+    """Advance an ANN index to a vector table's current snapshot via the
+    change feed (bootstrap build on first run; delta upsert + deletes
+    after)."""
+    from .pipelines.index_sync import sync_ann_index
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    rec = sync_ann_index(
+        table,
+        args.index,
+        args.vec_col,
+        args.dim,
+        consumer_id=args.consumer,
+        reset_on_missing_base=args.reset_on_missing_base,
+    )
+    print(json.dumps(rec or {"status": "current"}))
+    return 0
+
+
 def cmd_synth(args) -> int:
     from .datagen import generate_changelog_spark
 
@@ -379,6 +400,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="est_jaccard near-dup drop threshold")
     cs.add_argument("--max-files-per-trigger", type=int, default=None)
     cs.set_defaults(fn=cmd_corpus_stream)
+
+    si = sub.add_parser(
+        "sync-index", help="advance an ANN index via the change feed"
+    )
+    si.add_argument("--table", required=True)
+    si.add_argument("--index", required=True)
+    si.add_argument("--vec-col", default="embedding")
+    si.add_argument("--dim", type=int, required=True)
+    si.add_argument("--consumer", default="ann-index")
+    si.add_argument("--reset-on-missing-base", action="store_true")
+    si.set_defaults(fn=cmd_sync_index)
 
     g = sub.add_parser("synth", help="generate a synthetic changelog")
     g.add_argument("--events", type=int, default=100000)
