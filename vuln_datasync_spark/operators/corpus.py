@@ -499,3 +499,39 @@ def length_quantiles(
             *qs,
         )
     )
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "v1",
+    n_shards: int = 1024,
+) -> DataFrame:
+    """Deterministic pseudo-random training order: every row gets a
+    ``shuffle_shard`` and a dense ``shuffle_rank`` within it, derived
+    from md5(id || salt) — the global-shuffle pass that precedes
+    sequence packing (read shards in order, rows by rank inside each).
+    Same salt -> same order on any engine, any partitioning, any run;
+    bumping the salt is an explicit reshuffle (epoch reordering).
+
+    Shard = floor(frac * n_shards) from the SAME hash fraction that
+    orders rows, so one md5 per row covers both. A single global
+    row_number would serialize 100 TB through one partition; per-shard
+    ranks shuffle once on the shard key and window with O(1) state —
+    the same construction as :func:`pack_sequences`, and the two
+    compose (pass ``shard_col="shuffle_shard"``)."""
+    from pyspark.sql import Window as W
+
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    frac = _md5_fraction(F.col(id_col).cast("string"), salt)
+    w = W.partitionBy("shuffle_shard").orderBy("_frac", id_col)
+    return (
+        df.withColumn("_frac", frac)
+        .withColumn(
+            "shuffle_shard",
+            F.floor(F.col("_frac") * F.lit(float(n_shards))).cast("long"),
+        )
+        .withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
+        .drop("_frac")
+    )

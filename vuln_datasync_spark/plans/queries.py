@@ -2410,6 +2410,35 @@ def dd_ngram_capped(spark, sf):
 
 
 @q(
+    "samp_shuffle",
+    "corpus prep: deterministic pseudo-random training order "
+    "(operators/corpus.py shuffle_corpus — md5-fraction shard + "
+    "per-shard rank; one hash per row covers both)",
+    """WITH f AS (
+          SELECT doc_id,
+                 CAST(concat('0x', substring(
+                     md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 15))
+                     AS UBIGINT) / POWER(16, 15) AS frac
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(floor(frac * 8.0) AS BIGINT) AS shuffle_shard,
+               CAST(row_number() OVER (
+                   PARTITION BY CAST(floor(frac * 8.0) AS BIGINT)
+                   ORDER BY frac, doc_id) AS BIGINT) AS shuffle_rank
+        FROM f ORDER BY shuffle_shard, shuffle_rank""",
+    note="per-shard row_number windows (never a global order-by); at "
+    "100 TB one shuffle on the shard key, O(1) window state",
+)
+def samp_shuf(spark, sf):
+    from ..operators.corpus import shuffle_corpus
+
+    return shuffle_corpus(
+        _t(spark, sf, "documents").select("doc_id"), "doc_id", n_shards=8
+    ).orderBy("shuffle_shard", "shuffle_rank")
+
+
+@q(
     "samp_hash_split",
     "corpus prep: deterministic train/val/test hash split "
     "(operators/corpus.py hash_split — stable under data growth, "
@@ -2933,6 +2962,7 @@ _DRIVER_PRIORITY = [
     "tx_pii_scrub",
     "tx_length_quantiles",
     "sim_quantize_int8",
+    "samp_shuffle",
     # load-bearing keepers (driver-attested in r02+r03; stay in the window)
     "q1_tpch_pricing_summary",
     "j1_priority_dedup_join",
@@ -2942,7 +2972,6 @@ _DRIVER_PRIORITY = [
     "m2_cdc_lww_tombstones",
     "mg_coalesce_fields",
     "mg_priority_merge",
-    "mg_richness_merge",
     "dd_minhash_lsh_candidates",
     "dd_ngram_jaccard",
     "dd_simhash_pairs",
