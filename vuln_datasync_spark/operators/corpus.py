@@ -382,6 +382,10 @@ def repetition_stats(
     tagged = wdf.select(id_col, F.explode(both).alias("_s")).select(
         id_col, F.col("_s.n").alias("_n"), F.col("_s.g").alias("_g")
     )
+    # pivot the two gram sizes in the same aggregation tree so the plan
+    # ends in ONE join, not one per n (both aggs are map-side combined,
+    # and the (id, n) -> id regroup is partition-local after the first
+    # shuffle's hash on id-prefixed keys)
     fr = (
         tagged.groupBy(id_col, "_n", "_g")
         .agg(F.count("*").alias("_c"))
@@ -391,16 +395,18 @@ def repetition_stats(
                 "_frac"
             )
         )
-    )
-    f2 = fr.filter(F.col("_n") == 2).select(
-        id_col, F.col("_frac").alias("top2_frac")
-    )
-    f3 = fr.filter(F.col("_n") == 3).select(
-        id_col, F.col("_frac").alias("top3_frac")
+        .groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("_n") == 2, F.col("_frac"))).alias(
+                "top2_frac"
+            ),
+            F.max(F.when(F.col("_n") == 3, F.col("_frac"))).alias(
+                "top3_frac"
+            ),
+        )
     )
     return (
-        line_stats.join(f2, id_col, "left")
-        .join(f3, id_col, "left")
+        line_stats.join(fr, id_col, "left")
         .select(
             id_col,
             "n_lines",
