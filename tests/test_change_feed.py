@@ -128,7 +128,10 @@ def test_change_feed_schema_evolution_and_errors(spark, tmp_path):
     # column-add between snapshots: merge a frame with an extra column
     extra = spark.createDataFrame(
         [(2, "update", "r1", "a.py", "c2", "python", "v1b", None, None, "x")],
-        CHANGELOG_SCHEMA.add("branch", T.StringType()),
+        # fresh StructType: .add would MUTATE the shared module schema
+        T.StructType(
+            CHANGELOG_SCHEMA.fields + [T.StructField("branch", T.StringType())]
+        ),
     )
     apply_batch(extra, table, "cf", 1)
     s2 = table.current_snapshot_id()
