@@ -231,3 +231,53 @@ def test_consume_changes_expired_base(spark, tmp_path, monkeypatch):
     assert sorted((r["repo"], r["_change_type"]) for r in got) == [
         ("r1", "insert"), ("r2", "insert"),
     ]
+
+
+def test_change_feed_matches_state_diff_randomized(spark, tmp_path):
+    """Property: for ANY snapshot pair (a, b), read_changes(a, b) must
+    equal the key-level diff of the two materialized live states —
+    randomized op sequences over a small key space force every
+    insert/update/delete/resurrect/no-op interleaving through it."""
+    import random
+
+    rng = random.Random(1234)
+    keys = [(f"r{i}", f"f{j}.py") for i in range(4) for j in range(3)]
+    table = ManifestTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+
+    seq = 0
+    for bid in range(6):
+        rows = []
+        for repo, path in rng.sample(keys, rng.randint(2, 8)):
+            seq += 1
+            if rng.random() < 0.3:
+                rows.append((seq, "delete", repo, path, f"c{seq}", None, None, None, None))
+            else:
+                rows.append((seq, "upsert", repo, path, f"c{seq}", "python", f"v{seq}", None, None))
+        _batch(spark, table, rows, bid)
+
+    snaps = [None] + [m["snapshot_id"] for m in table.snapshots()]
+
+    def live(sid):
+        if sid is None:
+            return {}
+        return {
+            (r["repo"], r["path"]): r["content"]
+            for r in table.read(sid).collect()
+        }
+
+    pairs = [(snaps[i], snaps[j]) for i in range(len(snaps)) for j in range(1, len(snaps)) if i < j]
+    for a, b in rng.sample(pairs, 8):
+        la, lb = live(a), live(b)
+        want = {}
+        for k in lb.keys() - la.keys():
+            want[k] = ("insert", lb[k])
+        for k in la.keys() - lb.keys():
+            want[k] = ("delete", la[k])
+        for k in la.keys() & lb.keys():
+            if la[k] != lb[k]:
+                want[k] = ("update", lb[k])
+        got = {
+            (r["repo"], r["path"]): (r["_change_type"], r["content"])
+            for r in table.read_changes(a, b).collect()
+        }
+        assert got == want, f"feed mismatch for {a}->{b}"
