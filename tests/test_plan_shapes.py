@@ -1,0 +1,75 @@
+"""Plan-shape regression guards: the physical-plan properties the
+100 TB design depends on must not silently degrade (broadcast stays
+broadcast, point filters reach the parquet scan, aggregates stay
+hash-based inside whole-stage codegen, map-only ops stay shuffle-free,
+top-k stays TakeOrdered rather than a global sort)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vuln_datasync_spark.plans.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+_BY_NAME = {qd.name: qd for qd in QUERIES}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_broadcast_dim_join_stays_broadcast(spark):
+    plan = _plan(_BY_NAME["j2_broadcast_dim_join"].spark_fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_point_lookup_filter_reaches_parquet_scan(spark):
+    plan = _plan(_BY_NAME["j3_point_lookup_join"].spark_fn(spark, SF))
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate, not an empty list
+    assert "PushedFilters: []" not in plan.replace("PushedFilters: [],", "PushedFilters: [],")
+
+
+def test_pricing_summary_hash_aggregates_with_partial(spark):
+    plan = _plan(_BY_NAME["q1_tpch_pricing_summary"].spark_fn(spark, SF))
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+    # map-side combine: a partial aggregate must sit below the exchange
+    assert "partial_sum" in plan
+
+
+def test_map_only_ops_have_no_shuffle(spark):
+    """pii_scrub and quantize_embeddings are pure per-row column exprs:
+    any Exchange in their plan is a regression."""
+    from vuln_datasync_spark.operators.corpus import pii_scrub
+    from vuln_datasync_spark.operators.similarity import quantize_embeddings
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(pii_scrub(docs, "text", "doc_id"))
+    # "*(1)" is toString's whole-stage-codegen stage marker
+    assert "Exchange" not in plan and "*(1)" in plan
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(quantize_embeddings(emb, "embedding", "vec_id"))
+    assert "Exchange" not in plan
+
+
+def test_cosine_topk_is_take_ordered_not_global_sort(spark):
+    from vuln_datasync_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [float(x) for x in emb.head()["embedding"]]
+    plan = _plan(cosine_topk(emb, "embedding", "vec_id", q, k=5))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A two-column projection must not read the whole documents schema
+    (ReadSchema shows only what survives pruning)."""
+    df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.length("text").alias("n")
+    )
+    plan = _plan(df)
+    seg = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "doc_id" in seg and "text" in seg
+    assert "lang" not in seg and "source" not in seg and "n_chars" not in seg
