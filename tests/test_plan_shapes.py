@@ -24,10 +24,12 @@ def test_broadcast_dim_join_stays_broadcast(spark):
 
 
 def test_point_lookup_filter_reaches_parquet_scan(spark):
+    import re
+
     plan = _plan(_BY_NAME["j3_point_lookup_join"].spark_fn(spark, SF))
-    assert "PushedFilters: [" in plan
-    # at least one real pushed predicate, not an empty list
-    assert "PushedFilters: []" not in plan.replace("PushedFilters: [],", "PushedFilters: [],")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    # at least one scan carries a real pushed predicate
+    assert any(p.strip() for p in pushed), plan
 
 
 def test_pricing_summary_hash_aggregates_with_partial(spark):
