@@ -46,3 +46,39 @@ def test_frame_sampling_one_to_many(spark):
 def test_real_decode_is_gated(spark):
     with pytest.raises(PythonException, match="NotImplementedError"):
         extract_features(_media(spark, 3), decode_stub=False).collect()
+
+
+def test_resize_media_size_arithmetic_and_determinism(spark):
+    from vuln_datasync_spark.operators.multimodal import (
+        as_media_table,
+        resize_media,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x" * 1000), (2, "y")], "doc_id long, text string"
+    )
+    m = as_media_table(df, "doc_id", "text")
+    src = {r["media_id"]: r for r in m.collect()}
+    out = {r["media_id"]: r for r in resize_media(m, 64, 64).collect()}
+
+    for mid, r in out.items():
+        s = src[mid]
+        want = max(
+            1,
+            len(bytes(s["content"])) * 64 * 64
+            // (s["meta"]["width"] * s["meta"]["height"]),
+        )
+        assert len(bytes(r["content"])) == want
+        assert (r["meta"]["width"], r["meta"]["height"]) == (64, 64)
+        assert r["meta"]["sample_rate"] == s["meta"]["sample_rate"]
+
+    # deterministic: same inputs -> byte-identical payloads
+    again = {r["media_id"]: bytes(r["content"]) for r in resize_media(m, 64, 64).collect()}
+    assert {k: bytes(v["content"]) for k, v in out.items()} == again
+
+    import pytest
+
+    with pytest.raises(ValueError, match="dims"):
+        resize_media(m, 0, 64)
+    with pytest.raises(Exception):
+        resize_media(m, 64, 64, decode_stub=False).collect()

@@ -119,3 +119,69 @@ def sample_frames(
             )
 
     return media.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Resize plumbing (image thumbnail / audio resample shape): emit the
+    same media schema with ``meta.width/height`` set to the target and a
+    payload whose size scales with the target/source pixel ratio —
+    ``max(1, byte_len * width*height // (src_w*src_h))`` bytes.
+
+    The actual resample is STUBBED like the decoder (``decode_stub=True``
+    derives the new payload deterministically from an md5 chain over the
+    original bytes; ``False`` raises where PIL/ffmpeg would plug in) —
+    the real parts are the Arrow batch shape, the size arithmetic, and
+    the metadata rewrite, all of which survive a swap to a real codec.
+    Map-only (mapInPandas, no shuffle); output bytes are SMALLER than
+    input for downscales, so the stage shrinks data early — the order a
+    real pipeline wants at 100 TB (resize before shuffle/store)."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"target dims must be positive: {width}x{height}")
+
+    def _stub_bytes(raw: bytes, n: int) -> bytes:
+        out = bytearray()
+        h = hashlib.md5(raw).digest()
+        while len(out) < n:
+            out.extend(h)
+            h = hashlib.md5(h).digest()
+        return bytes(out[:n])
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media resize requires PIL/ffmpeg — not in this "
+                    "container; pass decode_stub=True"
+                )
+            metas = pdf["meta"]
+            contents, ws, hs = [], [], []
+            for content, meta in zip(pdf["content"], metas):
+                raw = bytes(content)
+                src_area = max(1, int(meta["width"]) * int(meta["height"]))
+                n = max(1, len(raw) * width * height // src_area)
+                contents.append(_stub_bytes(raw, n))
+                ws.append(width)
+                hs.append(height)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": contents,
+                    "meta": [
+                        {
+                            "width": w,
+                            "height": h,
+                            "sample_rate": m["sample_rate"],
+                            "duration_ms": m["duration_ms"],
+                        }
+                        for w, h, m in zip(ws, hs, metas)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(op, schema=MEDIA_SCHEMA)

@@ -1439,6 +1439,33 @@ def mm_features(spark, sf):
 
 
 @q(
+    "mm_resize",
+    "multimodal: resize plumbing (payload ∝ target/source area, meta "
+    "rewrite; stubbed resampler — operators/multimodal.py resize_media)",
+    """SELECT doc_id AS media_id,
+              CAST(greatest(1, strlen(text) * 64 * 64
+                   // ((strlen(text) % 640 + 32)
+                       * (strlen(text) % 480 + 32))) AS BIGINT)
+                  AS byte_len,
+              CAST(64 AS INTEGER) AS width, CAST(64 AS INTEGER) AS height
+       FROM documents ORDER BY media_id""",
+    note="oracle checks the size arithmetic + metadata rewrite; the "
+    "md5-chain stub payload itself is engine-internal (same contract as "
+    "mm_extract_features)",
+)
+def mm_resize(spark, sf):
+    from ..operators.multimodal import as_media_table, resize_media
+
+    m = as_media_table(_t(spark, sf, "documents"), "doc_id", "text")
+    return resize_media(m, 64, 64).select(
+        "media_id",
+        F.length("content").cast("long").alias("byte_len"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    ).orderBy("media_id")
+
+
+@q(
     "mm_sample_frames",
     "multimodal: frame sampling (1:N mapInPandas)",
     """WITH m AS (SELECT doc_id, text, strlen(text) AS n_bytes
@@ -2963,6 +2990,7 @@ _DRIVER_PRIORITY = [
     "tx_length_quantiles",
     "sim_quantize_int8",
     "samp_shuffle",
+    "mm_resize",
     # load-bearing keepers (driver-attested in r02+r03; stay in the window)
     "q1_tpch_pricing_summary",
     "j1_priority_dedup_join",
@@ -2980,7 +3008,6 @@ _DRIVER_PRIORITY = [
     "sim_ivf_topk",
     "st_windowed_stats",
     "w2_sessionization",
-    "tx_lang_id",
     "tx_quality_score",
     "mm_extract_features",
 ]
