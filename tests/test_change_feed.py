@@ -281,3 +281,56 @@ def test_change_feed_matches_state_diff_randomized(spark, tmp_path):
             for r in table.read_changes(a, b).collect()
         }
         assert got == want, f"feed mismatch for {a}->{b}"
+
+
+def test_preimage_feed_maintains_incremental_aggregate(spark, tmp_path):
+    """With update pre-images, an additive aggregate is maintainable
+    from the feed alone: counts per lang after applying +1/-1 deltas
+    must equal a full recompute — including a lang-changing update,
+    which the postimage-only feed cannot account for."""
+    from collections import Counter
+
+    table = ManifestTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    _batch(
+        spark, table,
+        [
+            (1, "insert", "r1", "a.py", "c1", "python", "v1", None, None),
+            (2, "insert", "r1", "b.py", "c2", "python", "v2", None, None),
+            (3, "insert", "r2", "c.go", "c3", "go", "v3", None, None),
+        ],
+        0,
+    )
+    s1 = table.current_snapshot_id()
+    counts = Counter(
+        r["lang"] for r in table.read(s1).select("lang").collect()
+    )
+    _batch(
+        spark, table,
+        [
+            # lang flip python -> rust: needs the preimage to decrement
+            (4, "update", "r1", "a.py", "c4", "rust", "v4", None, None),
+            (5, "delete", "r1", "b.py", "c5", None, None, None, None),
+            (6, "insert", "r3", "d.rs", "c6", "rust", "v6", None, None),
+        ],
+        1,
+    )
+    s2 = table.current_snapshot_id()
+
+    feed = table.read_changes(s1, s2, include_preimage=True).collect()
+    types = {r["_change_type"] for r in feed}
+    assert types == {"insert", "delete", "update_preimage", "update_postimage"}
+    for r in feed:
+        if r["_change_type"] in ("insert", "update_postimage"):
+            counts[r["lang"]] += 1
+        else:
+            counts[r["lang"]] -= 1
+
+    want = Counter(
+        r["lang"] for r in table.read(s2).select("lang").collect()
+    )
+    assert {k: v for k, v in counts.items() if v} == dict(want)
+
+    # preimage row carries OLD values, postimage NEW, for the same key
+    upd = {r["_change_type"]: r for r in feed if r["repo"] == "r1" and r["path"] == "a.py"}
+    assert upd["update_preimage"]["lang"] == "python"
+    assert upd["update_postimage"]["lang"] == "rust"

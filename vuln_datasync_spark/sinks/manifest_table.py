@@ -255,6 +255,7 @@ class ManifestTable:
         self,
         from_snapshot_id: str | None = None,
         to_snapshot_id: str | None = None,
+        include_preimage: bool = False,
     ) -> DataFrame:
         """Change data feed between two snapshots (the Iceberg
         changelog-scan / Delta CDF analog; reference's incremental
@@ -265,6 +266,14 @@ class ManifestTable:
         ``to_snapshot_id`` (default: current), with ``_change_type`` in
         {insert, update, delete}. Insert/update rows carry the NEW
         values, delete rows the last-seen old values.
+
+        ``include_preimage=True`` switches updates to the Delta-CDF
+        two-row form — ``update_preimage`` (old values) +
+        ``update_postimage`` (new values) — which is what makes ANY
+        downstream aggregate incrementally maintainable: the delta of
+        an additive agg is +f(row) for insert/update_postimage and
+        -f(row) for delete/update_preimage, so a consumer never needs
+        to re-read the base table (see the incremental-count test).
 
         Scale: buckets whose manifest file lists are identical in both
         snapshots are skipped before any I/O, so scan bytes and the
@@ -354,17 +363,37 @@ class ManifestTable:
                 F.lit("update"),
             )
         )
-        picked = F.when(
-            F.col("_change_type") == "delete", F.col("_ov")
-        ).otherwise(F.col("_nv"))
-        return (
-            j.withColumn("_change_type", ct)
-            .filter(F.col("_change_type").isNotNull())
-            .select(
+        j = j.withColumn("_change_type", ct).filter(
+            F.col("_change_type").isNotNull()
+        )
+        if not include_preimage:
+            picked = F.when(
+                F.col("_change_type") == "delete", F.col("_ov")
+            ).otherwise(F.col("_nv"))
+            return j.select(
                 *keys,
                 *[picked.getField(c).alias(c) for c in val_cols],
                 "_change_type",
             )
+        # Delta-CDF form: updates fan out to (preimage, postimage)
+        one = lambda t, v: F.array(  # noqa: E731
+            F.struct(F.lit(t).alias("t"), v.alias("v"))
+        )
+        fan = (
+            F.when(F.col("_change_type") == "insert", one("insert", F.col("_nv")))
+            .when(F.col("_change_type") == "delete", one("delete", F.col("_ov")))
+            .otherwise(
+                F.concat(
+                    one("update_preimage", F.col("_ov")),
+                    one("update_postimage", F.col("_nv")),
+                )
+            )
+        )
+        e = j.select(*keys, F.explode(fan).alias("_p"))
+        return e.select(
+            *keys,
+            *[F.col("_p.v").getField(c).alias(c) for c in val_cols],
+            F.col("_p.t").alias("_change_type"),
         )
 
     # ---------- merge ----------
