@@ -79,3 +79,24 @@ def test_sync_agg_tracks_recompute(spark, tmp_path):
     rec3 = sync_agg(table, state, ["lang"], sum_col="size_bytes")
     assert rec3 is not None and rec3.get("replayed_noop") is True
     assert _state(spark, state) == _recompute(table)
+
+
+def test_cli_sync_agg(spark, tmp_path, capsys, monkeypatch):
+    from vuln_datasync_spark import cli
+
+    monkeypatch.setattr(cli, "_spark", lambda args: spark)
+    tbl = str(tmp_path / "t")
+    table = ManifestTable.create(spark, tbl, n_buckets=4)
+    _batch(
+        spark, table,
+        [(1, "insert", "r1", "a.py", "c1", "python", "v1", None, 10)], 0,
+    )
+    state = str(tmp_path / "agg")
+    argv = ["sync-agg", "--table", tbl, "--state", state,
+            "--dims", "lang", "--sum-col", "size_bytes"]
+    assert cli.main(argv) == 0
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec["groups"] == 1
+    assert _state(spark, state) == {("python",): (1, 10)}
+    assert cli.main(argv) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == {"status": "current"}

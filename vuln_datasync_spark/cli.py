@@ -279,6 +279,25 @@ def cmd_sync_index(args) -> int:
     return 0
 
 
+def cmd_sync_agg(args) -> int:
+    """Advance a materialized per-dimension aggregate to the table's
+    current snapshot via the preimage change feed (O(delta) per sync)."""
+    from .pipelines.agg_sync import sync_agg
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    rec = sync_agg(
+        table,
+        args.state,
+        args.dims.split(","),
+        consumer_id=args.consumer,
+        sum_col=args.sum_col,
+    )
+    print(json.dumps(rec or {"status": "current"}))
+    return 0
+
+
 def cmd_synth(args) -> int:
     from .datagen import generate_changelog_spark
 
@@ -411,6 +430,16 @@ def build_parser() -> argparse.ArgumentParser:
     si.add_argument("--consumer", default="ann-index")
     si.add_argument("--reset-on-missing-base", action="store_true")
     si.set_defaults(fn=cmd_sync_index)
+
+    sa = sub.add_parser(
+        "sync-agg", help="advance a materialized aggregate via the feed"
+    )
+    sa.add_argument("--table", required=True)
+    sa.add_argument("--state", required=True)
+    sa.add_argument("--dims", required=True, help="comma-separated columns")
+    sa.add_argument("--sum-col", default=None)
+    sa.add_argument("--consumer", default="agg")
+    sa.set_defaults(fn=cmd_sync_agg)
 
     g = sub.add_parser("synth", help="generate a synthetic changelog")
     g.add_argument("--events", type=int, default=100000)
