@@ -122,3 +122,57 @@ def test_probe_empty_batch(spark, tmp_path):
     assert upsert_minhash_index(empty, "text", "doc_id", idx) == {
         "touched_partitions": 0
     }
+
+
+def test_delete_from_index_removes_matches_and_spares_other_cells(
+    spark, tmp_path
+):
+    from vuln_datasync_spark.operators.dedup_index import (
+        delete_from_minhash_index,
+    )
+
+    d = _docs(spark)
+    idx = str(tmp_path / "idx")
+    build_minhash_index(d, "text", "doc_id", idx)
+
+    # a near-dup probe of doc 0 finds it before the takedown
+    probe = spark.createDataFrame(
+        [(999000, d.filter(F.col("doc_id") == 0).head()["text"] + " tail")],
+        ["doc_id", "text"],
+    )
+    before = {
+        r["dup_id"]
+        for r in dedup_against_index(probe, "text", "doc_id", idx).collect()
+    }
+    assert 0 in before
+
+    # snapshot files of cells doc 0 does NOT hash into
+    victim = d.filter(F.col("doc_id") == 0)
+    all_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{idx}/band=*/pfx=*/*.parquet")
+    }
+    rec = delete_from_minhash_index(victim, "text", "doc_id", idx)
+    assert rec["deleted_ids"] == 1 and rec["touched_partitions"] >= 1
+
+    # doc 0 gone from the index: the probe no longer reports it, and no
+    # row with its id survives anywhere
+    after = {
+        r["dup_id"]
+        for r in dedup_against_index(probe, "text", "doc_id", idx).collect()
+    }
+    assert 0 not in after
+    assert (
+        spark.read.parquet(idx).filter(F.col("id") == 0).count() == 0
+    )
+    # untouched cells' files byte-identical (same path, same mtime)
+    untouched_survivors = [
+        f for f, m in all_files.items()
+        if os.path.exists(f) and os.path.getmtime(f) == m
+    ]
+    assert untouched_survivors, "delete rewrote every partition"
+
+    # idempotent: deleting again touches its cells but removes nothing
+    rec2 = delete_from_minhash_index(victim, "text", "doc_id", idx)
+    assert rec2["deleted_ids"] == 1  # victims counted, already absent
+    assert spark.read.parquet(idx).filter(F.col("id") == 0).count() == 0

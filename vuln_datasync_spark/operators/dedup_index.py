@@ -242,3 +242,67 @@ def upsert_minhash_index(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return {"touched_partitions": len(touched)}
+
+
+def delete_from_minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_path: str,
+    k: int = 8,
+    bands: int = 4,
+    shingle_k: int = 5,
+) -> dict:
+    """Remove documents from the index (takedown / corpus delete): the
+    content-addressed contract means a doc's cells are RECOMPUTABLE from
+    its text — no sidecar needed — and a delete feed row carries the old
+    text (``read_changes`` delete rows / ``update_preimage``), so this
+    composes directly with the change feed.
+
+    Recomputes the victims' band rows (compute ∝ victims), rewrites only
+    their (band, pfx) partitions without their ids, and explicitly clears
+    a partition whose rows ALL belonged to victims (dynamic overwrite
+    skips partitions absent from the written data — same vacated-cell
+    rule as ``upsert_ann_index``). I/O ∝ touched-partition volume."""
+    import glob as _g
+    import os as _os
+    import shutil as _sh
+
+    spark = df.sparkSession
+    rows = _band_rows(df, text_col, id_col, k, bands, shingle_k)
+    touched = [
+        (r["band"], r["pfx"])
+        for r in rows.select("band", "pfx").distinct().collect()
+    ]
+    if not touched:
+        return {"touched_partitions": 0, "deleted_ids": 0}
+    victim_ids = rows.select("id").distinct().localCheckpoint(eager=True)
+    kept = (
+        spark.read.parquet(index_path)
+        .filter(_touched_filter(touched))
+        .join(victim_ids, "id", "left_anti")
+        .select(*_INDEX_COLS)
+        .localCheckpoint(eager=True)
+    )
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        kept.repartition("band", "pfx").write.partitionBy(
+            "band", "pfx"
+        ).mode("overwrite").parquet(index_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    present = {
+        (r["band"], r["pfx"])
+        for r in kept.select("band", "pfx").distinct().collect()
+    }
+    for band, pfx in set(touched) - present:
+        cell = _os.path.join(index_path, f"band={band}", f"pfx={pfx}")
+        if _g.glob(_os.path.join(cell, "*")):
+            _sh.rmtree(cell, ignore_errors=True)
+    return {
+        "touched_partitions": len(touched),
+        "deleted_ids": victim_ids.count(),
+    }
