@@ -119,3 +119,87 @@ def test_cli_sync_index(spark, tmp_path, capsys, monkeypatch):
     assert rec.get("bootstrap") is True
     assert cli.main(argv) == 0
     assert json.loads(capsys.readouterr().out.strip()) == {"status": "current"}
+
+
+def test_sync_minhash_index_content_update_and_takedown(spark, tmp_path):
+    from vuln_datasync_spark.operators.dedup_index import (
+        build_minhash_index,
+        dedup_against_index,
+    )
+    from vuln_datasync_spark.pipelines.index_sync import sync_minhash_index
+
+    D_SCHEMA = (
+        "doc_id long, commit_seq long, commit string, op string, text string"
+    )
+    base_text = "the quick brown fox jumps over the lazy dog again and again"
+    other = "entirely different material with no shingle overlap at all here"
+    table = ManifestTable.create(
+        spark, str(tmp_path / "dt"), n_buckets=4, key_cols=("doc_id",)
+    )
+    idx = str(tmp_path / "didx")
+
+    table.merge(
+        spark.createDataFrame(
+            [
+                (1, 1, "c1", "insert", base_text),
+                (2, 2, "c2", "insert", other),
+            ],
+            D_SCHEMA,
+        ),
+        "mi", 0,
+    )
+    rec = sync_minhash_index(table, idx, "text")
+    assert rec["bootstrap"] is True
+
+    probe = spark.createDataFrame(
+        [(999, base_text + " tail")], ["doc_id", "text"]
+    )
+
+    def hits():
+        return {
+            r["dup_id"]
+            for r in dedup_against_index(probe, "text", "doc_id", idx).collect()
+        }
+
+    assert hits() == {1}
+
+    # content-changing update: doc 1's text becomes unrelated — the old
+    # cells must be cleared (preimage path), so the probe stops matching
+    table.merge(
+        spark.createDataFrame(
+            [(1, 10, "c10", "update", "totally new unrelated content now")],
+            D_SCHEMA,
+        ),
+        "mi", 1,
+    )
+    rec2 = sync_minhash_index(table, idx, "text")
+    assert rec2["removed"]["deleted_ids"] == 1
+    assert hits() == set()
+
+    # takedown: delete doc 2 entirely
+    table.merge(
+        spark.createDataFrame(
+            [(2, 11, "c11", "delete", None)], D_SCHEMA
+        ),
+        "mi", 2,
+    )
+    rec3 = sync_minhash_index(table, idx, "text")
+    assert rec3["removed"]["deleted_ids"] == 1
+    assert spark.read.parquet(idx).filter(F.col("id") == 2).count() == 0
+
+    # index now equals a fresh build over the live table
+    fresh = str(tmp_path / "fresh")
+    build_minhash_index(table.read(), "text", "doc_id", fresh)
+
+    def rows(path):
+        return {
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in spark.read.parquet(path)
+            .select("id", "minhash", "bucket", "band", "pfx")
+            .collect()
+        }
+
+    assert rows(idx) == rows(fresh)
+
+    # current -> None
+    assert sync_minhash_index(table, idx, "text") is None

@@ -81,7 +81,15 @@ def _band_rows(
                 ]
             )
         ).alias("band", "bucket"),
-    ).withColumn("pfx", F.substring("bucket", 1, 2))
+    ).withColumn(
+        # the "x" guard pins partition-column type inference: a small
+        # index whose two-hex-char dirs happen to be all-decimal
+        # (pfx=12, pfx=34, ...) would otherwise infer pfx as INT on
+        # read, and the static `pfx IN ('5d', ...)` probe filter would
+        # die casting its string literals
+        "pfx",
+        F.concat(F.lit("x"), F.substring("bucket", 1, 2)),
+    )
     return rows.localCheckpoint(eager=True)
 
 

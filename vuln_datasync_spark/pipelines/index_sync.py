@@ -96,3 +96,70 @@ def sync_ann_index(
     rec.update(stats)
     logger.info("sync_ann_index advanced to %s: %s", rec["snapshot_id"], stats)
     return rec
+
+
+def sync_minhash_index(
+    table: ManifestTable,
+    index_path: str,
+    text_col: str,
+    consumer_id: str = "minhash-index",
+    k: int = 8,
+    bands: int = 4,
+    shingle_k: int = 5,
+    reset_on_missing_base: bool = False,
+) -> dict | None:
+    """Keep the near-dup minhash index current with a document table's
+    change feed — the dedup analog of :func:`sync_ann_index`, plus the
+    one case the raw upsert cannot express: a CONTENT-CHANGING update.
+    The preimage feed carries the old text, so the old cells are cleared
+    by recomputation (``delete_from_minhash_index``) before the new
+    text's rows are upserted; takedown deletes use the same path. Every
+    step ∝ the delta."""
+    import glob as _glob
+
+    from ..operators.dedup_index import (
+        build_minhash_index,
+        delete_from_minhash_index,
+        upsert_minhash_index,
+    )
+
+    if len(table.key_cols) != 1:
+        raise ValueError(
+            "sync_minhash_index needs a single-key table (the doc id); "
+            f"got key_cols={table.key_cols}"
+        )
+    id_col = table.key_cols[0]
+    stats: dict = {}
+
+    def handler(_feed, frm, to):
+        feed = table.read_changes(frm, to, include_preimage=True)
+        new_rows = feed.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(id_col, text_col)
+        have_index = bool(_glob.glob(f"{index_path}/band=*"))
+        if frm is None or not have_index:
+            build_minhash_index(
+                new_rows, text_col, id_col, index_path, k, bands, shingle_k
+            )
+            stats["bootstrap"] = True
+            return
+        old_rows = feed.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select(id_col, text_col)
+        stats["removed"] = delete_from_minhash_index(
+            old_rows, text_col, id_col, index_path, k, bands, shingle_k
+        )
+        stats["upserted"] = upsert_minhash_index(
+            new_rows, text_col, id_col, index_path, k, bands, shingle_k
+        )
+
+    rec = table.consume_changes(
+        consumer_id, handler, reset_on_missing_base=reset_on_missing_base
+    )
+    if rec is None:
+        return None
+    rec.update(stats)
+    logger.info(
+        "sync_minhash_index advanced to %s: %s", rec["snapshot_id"], stats
+    )
+    return rec
