@@ -426,6 +426,82 @@ _PII_PATTERNS = {
 }
 
 
+def duplicate_ngram_coverage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ngram: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """CROSS-document duplicate-span signal: for each document, the
+    fraction of its DISTINCT word ``ngram``-grams that also occur in at
+    least ``min_docs - 1`` OTHER documents. Long spans repeated across a
+    corpus are the strongest memorization/boilerplate predictor (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better");
+    :func:`repetition_stats` is the WITHIN-doc analog, and docs scoring
+    high here are the removal candidates minhash banding then pairs up.
+
+    Returns (``id_col``, n_grams, n_dup_grams, dup_frac) — every input
+    doc appears; docs shorter than ``ngram`` words report (0, 0, 0.0);
+    dup_frac rounded to 4 places for cross-engine checks.
+
+    Plan shape: tokenize + sliding-window gram arrays are pure column
+    expressions; ``array_distinct`` dedups per doc BEFORE the explode
+    (no shuffle spent on within-doc repeats). One groupBy counts docs
+    per gram, then the gram frame joins that count back and re-groups
+    by doc. Both the aggregate and the probe side hash-partition the
+    SAME gram frame on the SAME key, so Catalyst reuses the exchange —
+    the gram explode is computed once and shuffled once. The gram join
+    is 1:1 enrichment (per-gram counts, never doc×doc pairs); hot
+    boilerplate grams skew partition sizes only, which AQE skew-split
+    handles. Shuffle ∝ distinct (doc, gram) rows — the same cost class
+    as :func:`contamination_report`'s vocabulary join."""
+    if ngram <= 0:
+        raise ValueError(f"ngram must be positive, got {ngram}")
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    grams = F.when(
+        F.size("_ws") >= ngram,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_ws") - ngram),
+                lambda i: F.concat_ws(
+                    " ", F.slice("_ws", i + 1, ngram)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gr = (
+        df.select(F.col(id_col), words.alias("_ws"))
+        .select(F.col(id_col), F.explode(grams).alias("_g"))
+    )
+    per_gram = gr.groupBy("_g").agg(F.count("*").alias("_nd"))
+    cov = (
+        gr.join(per_gram, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_nd") >= min_docs, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_dup_grams"),
+        )
+    )
+    return df.select(F.col(id_col)).join(cov, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("n_dup_grams", F.lit(0))
+        .cast("long")
+        .alias("n_dup_grams"),
+        F.coalesce(
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 4),
+            F.lit(0.0),
+        ).alias("dup_frac"),
+    )
+
+
 def pii_scrub(
     df: DataFrame,
     text_col: str,

@@ -1183,6 +1183,112 @@ def tx_repetition(spark, sf):
 
 
 @q(
+    "tx_dup_span_coverage",
+    "corpus dedup: cross-document duplicate 8-gram coverage per doc "
+    "(Lee et al. 2022 duplicate-span signal; operators/corpus.py "
+    "duplicate_ngram_coverage)",
+    r"""WITH words AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS ws
+          FROM documents
+        ), grams AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(ws) - 7),
+                          i -> array_to_string(ws[i:i+7], ' '))) AS g
+            FROM words WHERE len(ws) >= 8)
+        ), per_gram AS (
+          SELECT g, count(*) AS nd FROM grams GROUP BY g
+        ), cov AS (
+          SELECT doc_id, count(*) AS n_grams,
+                 CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_dup_grams
+          FROM grams JOIN per_gram USING (g) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(n_grams, 0) AS n_grams,
+               coalesce(n_dup_grams, 0) AS n_dup_grams,
+               coalesce(round(n_dup_grams * 1.0 / n_grams, 4), 0.0)
+                 AS dup_frac
+        FROM documents d LEFT JOIN cov USING (doc_id)
+        ORDER BY d.doc_id""",
+    note="per-doc-distinct grams exploded once; groupBy(gram) and the "
+    "1:1 count join share one exchange (ReusedExchange); no doc-pair "
+    "term anywhere",
+)
+def tx_dup_span(spark, sf):
+    from ..operators.corpus import duplicate_ngram_coverage
+
+    return duplicate_ngram_coverage(
+        _t(spark, sf, "documents"), "text", "doc_id", ngram=8
+    ).orderBy("doc_id")
+
+
+@q(
+    "prof_key_skew",
+    "ops profiling: key-distribution skew report that sizes n_salts for "
+    "the salted two-phase LWW reduce (operators/profiling.py "
+    "key_skew_report)",
+    r"""WITH counts AS (
+          SELECT user_id AS k, count(*) AS c FROM events GROUP BY user_id
+        ), stats AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+                 max(c) AS max_cnt
+          FROM counts
+        ), top AS (
+          SELECT CAST(sum(c) AS BIGINT) AS topk_cnt FROM (
+            SELECT c, k FROM counts ORDER BY c DESC, k LIMIT 10)
+        )
+        SELECT n_rows, n_keys, max_cnt,
+               round(n_rows * 1.0 / n_keys, 4) AS mean_cnt,
+               round(max_cnt * n_keys * 1.0 / n_rows, 4) AS skew_ratio,
+               round(max_cnt * 1.0 / n_rows, 6) AS top1_share,
+               round(topk_cnt * 1.0 / n_rows, 6) AS topk_share
+        FROM stats, top""",
+    note="one shuffle for per-key counts; summary agg + TakeOrdered "
+    "top-k branch cross-joined back as one-row broadcasts",
+)
+def prof_skew(spark, sf):
+    from ..operators.profiling import key_skew_report
+
+    return key_skew_report(_t(spark, sf, "events"), "user_id", top_k=10)
+
+
+@q(
+    "prof_event_lateness",
+    "ops profiling: event-time lateness distribution vs per-key arrival "
+    "order — the measured watermark delay (operators/profiling.py "
+    "event_lateness_profile)",
+    r"""WITH late AS (
+          SELECT CAST(max(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - epoch_us(ts) AS DOUBLE) AS late_us
+          FROM events
+        )
+        SELECT count(*) AS n_events,
+               CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_late,
+               round(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 6) AS late_frac,
+               round(quantile_cont(late_us, 0.5) / 1e6, 4) AS q50_late_s,
+               round(quantile_cont(late_us, 0.95) / 1e6, 4) AS q95_late_s,
+               round(quantile_cont(late_us, 0.99) / 1e6, 4) AS q99_late_s,
+               round(max(late_us) / 1e6, 4) AS max_late_s
+        FROM late""",
+    note="keyed O(1)-state running-max window + one global agg; exact "
+    "percentile partial state bounded by distinct lateness values",
+)
+def prof_lateness(spark, sf):
+    from ..operators.profiling import event_lateness_profile
+
+    return event_lateness_profile(
+        _t(spark, sf, "events"), "user_id", "ts", "event_id"
+    )
+
+
+@q(
     "sim_quantize_int8",
     "similarity: symmetric int8 embedding quantization (scale = "
     "max|v|/127, floor(x/scale + 0.5); operators/similarity.py "
@@ -2991,6 +3097,9 @@ _DRIVER_PRIORITY = [
     "sim_quantize_int8",
     "samp_shuffle",
     "mm_resize",
+    "tx_dup_span_coverage",
+    "prof_key_skew",
+    "prof_event_lateness",
     # load-bearing keepers (driver-attested in r02+r03; stay in the window)
     "q1_tpch_pricing_summary",
     "j1_priority_dedup_join",
@@ -3005,10 +3114,7 @@ _DRIVER_PRIORITY = [
     "dd_simhash_pairs",
     "sim_cosine_topk",
     "sim_embedding_neardup",
-    "sim_ivf_topk",
     "st_windowed_stats",
-    "w2_sessionization",
-    "tx_quality_score",
     "mm_extract_features",
 ]
 
