@@ -99,6 +99,18 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_rollback(args) -> int:
+    """Restore the table to a prior snapshot (metadata-only; see
+    ManifestTable.rollback — epochs after the target re-open for replay)."""
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    sid = table.rollback(args.snapshot)
+    print(json.dumps({"snapshot_id": sid, "rolled_back_to": args.snapshot}))
+    return 0
+
+
 def cmd_changes(args) -> int:
     """Print the row-level change feed between two snapshots as JSON
     lines (insert/update/delete; see ManifestTable.read_changes)."""
@@ -361,6 +373,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="print per-change-type counts instead of rows",
     )
     ch.set_defaults(fn=cmd_changes)
+
+    rb = sub.add_parser(
+        "rollback", help="restore the table to a prior snapshot"
+    )
+    rb.add_argument("--table", required=True)
+    rb.add_argument(
+        "--snapshot", required=True, help="target snapshot id (see stats)"
+    )
+    rb.set_defaults(fn=cmd_rollback)
 
     st = sub.add_parser("stats", help="table + lineage summary")
     st.add_argument("--table", required=True)

@@ -251,6 +251,106 @@ class ManifestTable:
             )
         return df
 
+    def lookup(self, key_values, snapshot_id: str | None = None) -> DataFrame:
+        """Point lookup by primary key: read ONLY the hash buckets the
+        given keys can live in (reference analog: GetVulnerabilityByID,
+        /root/reference/sql/vulnerabilities.sql:1-6 — a B-tree probe there,
+        a partition-pruned scan here).
+
+        ``key_values``: scalars (single-column key) or tuples in
+        ``key_cols`` order. The candidate buckets come from applying the
+        table's own ``bucket_expr`` to a literal frame of the keys — the
+        hash is computed by the same engine expression that routed the
+        writes, so driver/JVM hash parity is true by construction, and it
+        stays correct across ``rebucket`` (the expression reads the
+        CURRENT modulus). The pruned read is then semi-joined to the
+        broadcast key set.
+
+        At 100 TB: I/O is ∝ ``len(keys)/n_buckets`` of the table — k
+        point lookups read at most k buckets' files, never the table.
+        The bucket computation is one driver-local job over len(keys)
+        literal rows (no scan)."""
+        m = self.manifest(snapshot_id)
+        if m is None or not key_values:
+            return self.read(snapshot_id).limit(0)
+        rows = [
+            tuple(v) if isinstance(v, (tuple, list)) else (v,)
+            for v in key_values
+        ]
+        if any(len(r) != len(self.key_cols) for r in rows):
+            raise ValueError(
+                f"each key must have {len(self.key_cols)} values "
+                f"({', '.join(self.key_cols)})"
+            )
+        schema = T.StructType.fromJson(m["schema"])
+        by_name = {f.name: f for f in schema.fields}
+        keys_df = self.spark.createDataFrame(
+            rows,
+            T.StructType([by_name[c] for c in self.key_cols]),
+        )
+        # current-layout modulus (matches how the files were routed)
+        n = m.get("n_buckets", self.n_buckets)
+        bexpr = F.pmod(
+            F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(n)
+        ).cast("int")
+        buckets = sorted(
+            r["b"]
+            for r in keys_df.select(bexpr.alias("b")).distinct().collect()
+        )
+        return self.read(snapshot_id, buckets=buckets).join(
+            F.broadcast(keys_df), on=list(self.key_cols), how="leftsemi"
+        )
+
+    def rollback(self, snapshot_id: str) -> str:
+        """Restore the table to a prior snapshot by committing a NEW
+        snapshot that references the old snapshot's file set — pure
+        metadata, no data movement (Iceberg ``rollback_to_snapshot``
+        analog; reference analog: full re-sync recovery,
+        /root/reference/internal/jobs/server.go sync-from-scratch path —
+        here O(1) instead of a re-ingest).
+
+        ``applied_epochs`` reverts to the target's set, so changelog
+        batches committed after the rollback point replay cleanly
+        (exactly-once keys re-open); history is preserved — the bad
+        snapshots stay readable for audit until ``expire_snapshots``.
+        The bucket layout (modulus) also reverts if a ``rebucket``
+        happened in between; the next merge's ``_sync_layout`` picks it
+        up. Returns the new snapshot id."""
+        target = self.manifest(snapshot_id)
+        if target is None:
+            raise ValueError(f"unknown snapshot {snapshot_id!r}")
+        parent = self.current_snapshot_id()
+        if parent == snapshot_id:
+            return parent
+        sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        lineage = {
+            "snapshot_id": sid,
+            "checkpoint_id": f"rollback:{snapshot_id}",
+            "batch_id": 0,
+            "seq_start": None,
+            "seq_end": None,
+            "rows_applied": 0,
+            "buckets": {},
+            "committed_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+        }
+        manifest = {
+            "snapshot_id": sid,
+            "n_buckets": target.get("n_buckets", self.n_buckets),
+            "parent": parent,
+            "epoch": f"rollback:{snapshot_id}:{sid}",
+            "applied_epochs": sorted(target["applied_epochs"]),
+            "schema": target["schema"],
+            "files": dict(target["files"]),
+            "bucket_meta": dict(target.get("bucket_meta", {})),
+            "lineage": lineage,
+        }
+        self._commit(manifest, expected_parent=parent)
+        self._append_lineage(lineage)
+        self.n_buckets = manifest["n_buckets"]
+        return sid
+
     def read_changes(
         self,
         from_snapshot_id: str | None = None,
