@@ -163,3 +163,70 @@ def sync_minhash_index(
         "sync_minhash_index advanced to %s: %s", rec["snapshot_id"], stats
     )
     return rec
+
+
+def sync_alias_index(
+    table: ManifestTable,
+    index_path: str,
+    alias_col: str = "aliases",
+    consumer_id: str = "alias-index",
+    reset_on_missing_base: bool = False,
+) -> dict | None:
+    """Keep the alias -> id inverted index current with the vuln table's
+    change feed (reference analog: the alias cache refreshed per sync,
+    /root/reference/sql/vulnerabilities.sql:136-139 — here ∝ the delta,
+    never a full unnest of the catalog).
+
+    Update PREIMAGES carry each changed record's OLD alias array, so an
+    alias dropped by a merge stops resolving (its stale cell is cleared
+    by ``update_alias_index``'s removals side); deletes clear all of a
+    record's cells. At-least-once feed delivery + idempotent
+    partition-scoped rewrite = safe replay, same contract as the ANN and
+    minhash syncs."""
+    import glob as _glob
+
+    from ..operators.alias_index import build_alias_index, update_alias_index
+
+    if len(table.key_cols) != 1:
+        raise ValueError(
+            "sync_alias_index needs a single-key table (the record id); "
+            f"got key_cols={table.key_cols}"
+        )
+    id_col = table.key_cols[0]
+    stats: dict = {}
+
+    def handler(_feed, frm, to):
+        feed = table.read_changes(frm, to, include_preimage=True)
+        new_rows = feed.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(id_col, alias_col)
+        have_index = bool(_glob.glob(f"{index_path}/pfx=*"))
+        if frm is None or not have_index:
+            build_alias_index(
+                new_rows, index_path, alias_col=alias_col, id_col=id_col
+            )
+            stats["bootstrap"] = True
+            return
+        old_rows = feed.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select(id_col, alias_col)
+        stats.update(
+            update_alias_index(
+                index_path,
+                upserts=new_rows,
+                removals=old_rows,
+                alias_col=alias_col,
+                id_col=id_col,
+            )
+        )
+
+    rec = table.consume_changes(
+        consumer_id, handler, reset_on_missing_base=reset_on_missing_base
+    )
+    if rec is None:
+        return None
+    rec.update(stats)
+    logger.info(
+        "sync_alias_index advanced to %s: %s", rec["snapshot_id"], stats
+    )
+    return rec
