@@ -617,3 +617,140 @@ def shuffle_corpus(
         .withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
         .drop("_frac")
     )
+
+
+def mix_domains(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    scale: float = 1.0,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic domain-mixture resampling: reshape a corpus so each
+    domain holds a TARGET share of the output (the Pile/DoReMi-style
+    reweighting step between dedup and packing). Domains absent from
+    ``weights`` are dropped; output size ≈ ``scale`` × the kept rows.
+
+    Per domain d: ``epochs_d = w_d · (N·scale) / n_d`` (w normalized,
+    n_d = input rows of d, N = total kept input rows). Every row emits
+    ``floor(epochs_d)`` full copies plus one more iff its md5-fraction
+    < ``frac(epochs_d)`` — so up-weighted domains repeat (epoch column
+    says which pass) and down-weighted domains subsample, both stable
+    under reruns, engines, and partitioning; bumping ``salt`` is an
+    explicit remix. Rows with a null id never win the fractional copy
+    (null hash -> comparison false) — they get exactly floor(epochs)
+    copies, deterministically.
+
+    Plan shape: one map-side-combined count per domain (result rows ∝
+    domains), its one-row total cross-joined back, and the per-domain
+    epochs broadcast-joined onto the corpus — the big side never
+    shuffles; the copy fan-out is an in-partition sequence+explode.
+    IEEE note: the epochs expression is written ``w · (N·scale) / n``
+    in this exact association so a SQL oracle reproduces it bit-for-bit
+    (double ops are order-sensitive)."""
+    if not weights:
+        raise ValueError("weights must name at least one domain")
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    wsum = float(sum(weights.values()))
+    wmap = F.create_map(
+        *[
+            x
+            for k, v in weights.items()
+            for x in (F.lit(k), F.lit(float(v) / wsum))
+        ]
+    )
+    counts = (
+        df.groupBy(F.col(domain_col).alias("_dom"))
+        .agg(F.count("*").alias("_nd"))
+        .where(F.col("_dom").isin(list(weights)))
+    )
+    total = counts.agg(F.sum("_nd").alias("_ntot"))
+    dims = counts.crossJoin(F.broadcast(total)).select(
+        "_dom",
+        (
+            wmap[F.col("_dom")]
+            * (F.col("_ntot") * F.lit(float(scale)))
+            / F.col("_nd")
+        ).alias("_epochs"),
+    )
+    frac = _md5_fraction(F.col(id_col).cast("string"), salt)
+    return (
+        df.join(F.broadcast(dims), F.col(domain_col) == F.col("_dom"))
+        .withColumn(
+            "_n_copies",
+            (
+                F.floor("_epochs")
+                + F.when(
+                    frac < F.col("_epochs") - F.floor("_epochs"), 1
+                ).otherwise(0)
+            ).cast("int"),
+        )
+        .where(F.col("_n_copies") > 0)
+        .select(
+            *df.columns,
+            F.explode(
+                F.sequence(F.lit(0), F.col("_n_copies") - 1)
+            ).alias("epoch"),
+        )
+    )
+
+
+# Java and RE2 both accept \x{...} codepoint escapes and \x00-style byte
+# escapes inside classes, so ONE pattern text serves Spark and the SQL
+# oracle. Zero-width: ZWSP/ZWNJ/ZWJ/BOM; controls: C0 minus \t\n\r, plus
+# DEL.
+ZERO_WIDTH_RE = r"[\x{200B}\x{200C}\x{200D}\x{FEFF}]"
+CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str,
+    nfc: bool = True,
+    out_col: str = "text_norm",
+) -> DataFrame:
+    """Web-scrape text hygiene: strip zero-width characters (ZWSP/ZWNJ/
+    ZWJ/BOM — invisible tokens that split words and poison dedup hashes),
+    strip C0 control characters (except tab/newline/CR) and DEL, then
+    Unicode-NFC compose (``e`` + combining accent -> ``é``, so the same
+    visible text always byte-compares and hashes equal — the prerequisite
+    for every exact-dedup / shingle / fingerprint operator upstream).
+
+    Adds ``out_col`` and ``n_chars_removed`` (original minus normalized
+    length — NFC composition also shrinks it; a negative value is
+    impossible for the strip steps and rare-but-legal for NFC
+    decompositions). Null text passes through as null.
+
+    The strip steps are JVM regexes (whole-stage codegen); NFC is the
+    one step Spark SQL lacks, done as an Arrow-batched pandas UDF
+    (``unicodedata.normalize`` — map-only, no shuffle, memory ∝ batch).
+    ``nfc=False`` keeps the whole operator JVM-side."""
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), ZERO_WIDTH_RE, ""),
+        CONTROL_RE,
+        "",
+    )
+    if nfc:
+        import pandas as pd  # noqa: F401 (pandas_udf requirement)
+
+        @F.pandas_udf("string")
+        def _nfc_udf(s):
+            import unicodedata
+
+            return s.map(
+                lambda x: None
+                if x is None
+                else unicodedata.normalize("NFC", x)
+            )
+
+        norm = _nfc_udf(cleaned)
+    else:
+        norm = cleaned
+    return df.withColumn(out_col, norm).withColumn(
+        "n_chars_removed",
+        (F.length(F.col(text_col)) - F.length(F.col(out_col))).cast(
+            "long"
+        ),
+    )

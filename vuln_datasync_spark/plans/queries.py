@@ -1289,6 +1289,118 @@ def prof_lateness(spark, sf):
 
 
 @q(
+    "samp_mix_domains",
+    "corpus prep: deterministic domain-mixture resampling to target "
+    "shares (Pile/DoReMi-style reweighting; operators/corpus.py "
+    "mix_domains — up-weighted domains repeat with an epoch counter, "
+    "down-weighted subsample by md5 fraction)",
+    """WITH kept AS (
+          SELECT doc_id, source FROM documents
+          WHERE source IN ('src18', 'src6', 'src7')
+        ), counts AS (
+          SELECT source AS dom, count(*) AS nd FROM kept GROUP BY source
+        ), tot AS (
+          SELECT CAST(sum(nd) AS BIGINT) AS ntot FROM counts
+        ), dims AS (
+          SELECT dom,
+                 CAST(CASE dom WHEN 'src18' THEN 0.5 WHEN 'src6' THEN 0.25
+                      ELSE 0.25 END AS DOUBLE)
+                   * (ntot * CAST(1.0 AS DOUBLE)) / nd AS epochs
+          FROM counts, tot
+        ), rws AS (
+          SELECT k.doc_id, k.source, d.epochs,
+                 CAST(concat('0x', substring(
+                      md5(CAST(k.doc_id AS VARCHAR) || 'v1'), 1, 15))
+                      AS UBIGINT) / POWER(16, 15) AS frac
+          FROM kept k JOIN dims d ON k.source = d.dom
+        ), copies AS (
+          SELECT doc_id, source,
+                 CAST(floor(epochs) AS BIGINT)
+                   + CASE WHEN frac < epochs - floor(epochs)
+                          THEN 1 ELSE 0 END AS nc
+          FROM rws
+        )
+        SELECT doc_id, source,
+               unnest(generate_series(0, CAST(nc - 1 AS BIGINT))) AS epoch
+        FROM copies WHERE nc > 0 ORDER BY doc_id, epoch""",
+    note="epochs written w*(N*scale)/n in BOTH engines (double ops are "
+    "order-sensitive); weights 0.5/0.25/0.25 are exact binary fractions "
+    "so python-side normalization is bit-exact; big side never shuffles "
+    "(per-domain epochs broadcast back)",
+)
+def samp_mix(spark, sf):
+    from ..operators.corpus import mix_domains
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    out = mix_domains(
+        d,
+        "source",
+        "doc_id",
+        {"src18": 0.5, "src6": 0.25, "src7": 0.25},
+        scale=1.0,
+    )
+    return out.select(
+        "doc_id", "source", F.col("epoch").cast("long").alias("epoch")
+    ).orderBy("doc_id", "epoch")
+
+
+@q(
+    "tx_normalize_text",
+    "corpus prep: text hygiene — zero-width strip, control strip, "
+    "Unicode NFC compose (operators/corpus.py normalize_text; dirt "
+    "planted deterministically by doc_id rule since the synthetic "
+    "corpus is clean ASCII)",
+    r"""WITH planted AS (
+          SELECT doc_id, text
+            || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769)
+                    ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN chr(8203) || 'zw'
+                    ELSE '' END
+            || CASE WHEN doc_id % 7 = 0 THEN chr(1) || 'ctl'
+                    ELSE '' END AS text
+          FROM documents
+        ), norm AS (
+          SELECT doc_id, text,
+                 nfc_normalize(regexp_replace(regexp_replace(text,
+                   '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+                   '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'))
+                   AS text_norm
+          FROM planted
+        )
+        SELECT doc_id, text_norm,
+               CAST(length(text) - length(text_norm) AS BIGINT)
+                 AS n_chars_removed
+        FROM norm ORDER BY doc_id""",
+    note="one regex pattern text serves Java and RE2 (both accept "
+    "\\x{...} class escapes); NFC is the one non-JVM step (Arrow pandas "
+    "UDF, map-only); engine and oracle lengths both count codepoints",
+)
+def tx_normalize(spark, sf):
+    from ..operators.corpus import normalize_text
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" café")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("​zw")).otherwise(
+                F.lit("")
+            ),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\x01ctl")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    out = normalize_text(planted, "text")
+    return out.select("doc_id", "text_norm", "n_chars_removed").orderBy(
+        "doc_id"
+    )
+
+
+@q(
     "sim_quantize_int8",
     "similarity: symmetric int8 embedding quantization (scale = "
     "max|v|/127, floor(x/scale + 0.5); operators/similarity.py "
@@ -3100,6 +3212,8 @@ _DRIVER_PRIORITY = [
     "tx_dup_span_coverage",
     "prof_key_skew",
     "prof_event_lateness",
+    "samp_mix_domains",
+    "tx_normalize_text",
     # load-bearing keepers (driver-attested in r02+r03; stay in the window)
     "q1_tpch_pricing_summary",
     "j1_priority_dedup_join",
@@ -3111,8 +3225,6 @@ _DRIVER_PRIORITY = [
     "mg_priority_merge",
     "dd_minhash_lsh_candidates",
     "dd_ngram_jaccard",
-    "dd_simhash_pairs",
-    "sim_cosine_topk",
     "sim_embedding_neardup",
     "st_windowed_stats",
     "mm_extract_features",
