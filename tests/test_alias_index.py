@@ -204,3 +204,29 @@ def test_sync_alias_index_feed_loop(spark, tmp_path):
     assert [(r["vuln_id"], r["severity"]) for r in got] == [
         ("VULN-0003", "HIGH")
     ]
+
+
+def test_cli_sync_alias_and_lookup(spark, tmp_path, capsys, monkeypatch):
+    import json
+
+    from vuln_datasync_spark import cli
+
+    monkeypatch.setattr(cli, "_spark", lambda args: spark)
+    tbl, idx = str(tmp_path / "t"), str(tmp_path / "idx")
+    table = ManifestTable.create(spark, tbl, n_buckets=4, key_cols=("vuln_id",))
+    _merge(spark, table, [_rec(i, i) for i in range(10)], 0)
+
+    assert cli.main(["sync-alias", "--table", tbl, "--index", idx]) == 0
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec.get("bootstrap") is True
+    assert cli.main(["sync-alias", "--table", tbl, "--index", idx]) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == {"status": "current"}
+
+    assert cli.main(["lookup", "--table", tbl, "--alias", "--index", idx,
+                     "GHSA-0004"]) == 0
+    rows = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert [r["vuln_id"] for r in rows] == ["VULN-0004"]
+
+    assert cli.main(["lookup", "--table", tbl, "VULN-0002"]) == 0
+    rows = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert [r["vuln_id"] for r in rows] == ["VULN-0002"]

@@ -291,6 +291,47 @@ def cmd_sync_index(args) -> int:
     return 0
 
 
+def cmd_sync_alias(args) -> int:
+    """Advance the alias -> id inverted index to the table's current
+    snapshot via the preimage change feed (stale alias cells cleared)."""
+    from .pipelines.index_sync import sync_alias_index
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    rec = sync_alias_index(
+        table,
+        args.index,
+        alias_col=args.alias_col,
+        consumer_id=args.consumer,
+        reset_on_missing_base=args.reset_on_missing_base,
+    )
+    print(json.dumps(rec or {"status": "current"}))
+    return 0
+
+
+def cmd_lookup(args) -> int:
+    """Point lookup by key or alias, printed as JSON lines. Keys read
+    only their hash buckets; aliases probe the inverted index first
+    (reference GetVulnerabilityByID / GetVulnerabilityByAlias)."""
+    from .operators.alias_index import resolve_aliases
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    if args.alias:
+        if not args.index:
+            raise SystemExit("--alias lookup needs --index")
+        df = resolve_aliases(table, args.index, args.values)
+    else:
+        df = table.lookup(
+            [tuple(v.split("||")) if "||" in v else v for v in args.values]
+        )
+    for line in df.toJSON().toLocalIterator():
+        print(line)
+    return 0
+
+
 def cmd_sync_agg(args) -> int:
     """Advance a materialized per-dimension aggregate to the table's
     current snapshot via the preimage change feed (O(delta) per sync)."""
@@ -451,6 +492,29 @@ def build_parser() -> argparse.ArgumentParser:
     si.add_argument("--consumer", default="ann-index")
     si.add_argument("--reset-on-missing-base", action="store_true")
     si.set_defaults(fn=cmd_sync_index)
+
+    sal = sub.add_parser(
+        "sync-alias", help="advance the alias index via the change feed"
+    )
+    sal.add_argument("--table", required=True)
+    sal.add_argument("--index", required=True)
+    sal.add_argument("--alias-col", default="aliases")
+    sal.add_argument("--consumer", default="alias-index")
+    sal.add_argument("--reset-on-missing-base", action="store_true")
+    sal.set_defaults(fn=cmd_sync_alias)
+
+    lk = sub.add_parser(
+        "lookup", help="point lookup by key (or --alias via the index)"
+    )
+    lk.add_argument("--table", required=True)
+    lk.add_argument("--alias", action="store_true")
+    lk.add_argument("--index", help="alias index path (with --alias)")
+    lk.add_argument(
+        "values",
+        nargs="+",
+        help="key values ('a||b' for composite keys) or aliases",
+    )
+    lk.set_defaults(fn=cmd_lookup)
 
     sa = sub.add_parser(
         "sync-agg", help="advance a materialized aggregate via the feed"
