@@ -224,17 +224,87 @@ class ManifestTable:
                 files += [os.path.join(self.root, p) for p in paths]
         return files
 
+    @classmethod
+    def _file_overlaps(cls, meta: dict | None, enc_filters: dict) -> bool:
+        """True when a file may contain rows matching every range filter.
+        No stats for the file, or no stats for a filtered column =>
+        conservative keep. Stats present with all-null min/max => the
+        column has no non-null value in the file, and a range predicate
+        never matches null => safe skip."""
+        if meta is None:
+            return True
+        cols = meta.get("cols", {})
+        for c, (lo, hi) in enc_filters.items():
+            if c not in cols:
+                continue
+            mn, mx = cols[c]
+            if mn is None and mx is None:
+                return False
+            if hi is not None and mn is not None and mn > hi:
+                return False
+            if lo is not None and mx is not None and mx < lo:
+                return False
+        return True
+
+    def _enc_filters(self, range_filters: dict) -> dict:
+        return {
+            c: (self._enc_stat(lo), self._enc_stat(hi))
+            for c, (lo, hi) in range_filters.items()
+        }
+
+    def prune_report(
+        self, range_filters: dict, snapshot_id: str | None = None
+    ) -> dict:
+        """Which files a ``read(range_filters=...)`` would open: returns
+        ``{"kept": [...], "skipped": [...]}`` (manifest-relative paths).
+        Pure manifest-JSON work — no file I/O, no Spark job."""
+        m = self.manifest(snapshot_id)
+        if m is None:
+            return {"kept": [], "skipped": []}
+        enc = self._enc_filters(range_filters)
+        fm = m.get("file_meta", {})
+        kept, skipped = [], []
+        for paths in m["files"].values():
+            for p in paths:
+                (kept if self._file_overlaps(fm.get(p), enc) else skipped).append(p)
+        return {"kept": sorted(kept), "skipped": sorted(skipped)}
+
     def read(
         self,
         snapshot_id: str | None = None,
         include_tombstones: bool = False,
         buckets: list[int] | None = None,
+        range_filters: dict | None = None,
     ) -> DataFrame:
         """Snapshot read. Missing columns in old files come back as null
-        (explicit manifest schema -> parquet clipping = free column-add)."""
+        (explicit manifest schema -> parquet clipping = free column-add).
+
+        ``range_filters={col: (lo, hi)}`` (either bound may be None)
+        applies ``lo <= col <= hi`` AND skips — via the manifest's
+        per-file zone maps, before Spark ever lists or opens them — every
+        file whose [min, max] cannot intersect the requested range (the
+        Iceberg manifest-stats / Delta data-skipping pattern; reference
+        analog: modified-since incremental sync riding a B-tree index,
+        /root/reference/sql/vulnerabilities.sql:128-132). Bounds:
+        numbers for numeric columns, datetime/date objects for
+        timestamp/date columns, strings for key columns. At 100 TB a
+        time-scoped read (e.g. "commits since seq N") opens only the
+        files whose zone overlaps — I/O ∝ matching data, not table size;
+        parquet row-group pruning then resumes inside each kept file."""
         m = self.manifest(snapshot_id)
         schema = T.StructType.fromJson(m["schema"]) if m else None
         files = self._files_for(m, buckets) if m else []
+        if m and range_filters:
+            enc = self._enc_filters(range_filters)
+            fm = m.get("file_meta", {})
+            root_abs = os.path.abspath(self.root)
+            files = [
+                f_
+                for f_ in files
+                if self._file_overlaps(
+                    fm.get(os.path.relpath(f_, root_abs)), enc
+                )
+            ]
         if not files:
             empty_schema = schema or T.StructType(
                 [T.StructField(c, T.StringType()) for c in self.key_cols]
@@ -249,6 +319,14 @@ class ManifestTable:
             df = df.filter(~F.coalesce(F.col("is_deleted"), F.lit(False))).drop(
                 "is_deleted"
             )
+        if range_filters:
+            # residual row-level predicate: zone maps are file-granular,
+            # kept files still contain non-matching rows
+            for c, (lo, hi) in range_filters.items():
+                if lo is not None:
+                    df = df.filter(F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(F.col(c) <= F.lit(hi))
         return df
 
     def lookup(self, key_values, snapshot_id: str | None = None) -> DataFrame:
@@ -344,6 +422,7 @@ class ManifestTable:
             "schema": target["schema"],
             "files": dict(target["files"]),
             "bucket_meta": dict(target.get("bucket_meta", {})),
+            "file_meta": dict(target.get("file_meta", {})),
             "lineage": lineage,
         }
         self._commit(manifest, expected_parent=parent)
@@ -642,7 +721,8 @@ class ManifestTable:
         bucket_meta = dict(parent_m.get("bucket_meta", {})) if parent_m else {}
         for b in affected:
             bucket_meta.pop(str(b), None)
-        bucket_meta.update(self._tombstone_stats(snap_dir))
+        new_bm, new_fm = self._write_stats(snap_dir)
+        bucket_meta.update(new_bm)
 
         lineage = {
             "snapshot_id": sid,
@@ -663,42 +743,138 @@ class ManifestTable:
             "schema": new_schema.jsonValue(),
             "files": files,
             "bucket_meta": bucket_meta,
+            "file_meta": self._carry_file_meta(parent_m, files, new_fm),
             "lineage": lineage,
         }
         self._commit(manifest, expected_parent=parent)
         self._append_lineage(lineage)
         return lineage
 
-    def _tombstone_stats(self, snap_dir: str) -> dict[str, dict]:
-        """Per-bucket tombstone stats over freshly written snapshot files
-        (partition-discovered ``bucket=`` dirs; scan is column-pruned to
-        the two stat columns)."""
+    def _zone_cols(self, df: DataFrame) -> list[T.StructField]:
+        """Columns eligible for per-file zone-map stats: every numeric /
+        timestamp / date column, plus STRING columns only when they are
+        key columns (short by construction). Free-text payload columns
+        (document content, summaries) are deliberately excluded — min/max
+        over megabyte strings would make the stats scan read the heaviest
+        column of the table for bounds nobody range-filters on."""
+        out = []
+        for f_ in df.schema.fields:
+            if f_.name in ("bucket", "is_deleted"):
+                continue
+            t = f_.dataType.typeName()
+            if t in (
+                "byte", "short", "integer", "long", "float", "double",
+                "timestamp", "date",
+            ) or (t == "string" and f_.name in self.key_cols):
+                out.append(f_)
+        return out
+
+    @staticmethod
+    def _enc_stat(v):
+        """JSON-encode a collected min/max so comparisons on the stored
+        form are order-preserving: timestamps/dates to fixed-width ISO
+        strings (lexicographic == chronological), numbers as-is."""
+        if v is None:
+            return None
+        if hasattr(v, "strftime"):
+            if hasattr(v, "hour"):
+                return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+            return v.strftime("%Y-%m-%d")
+        return v
+
+    def _write_stats(self, snap_dir: str):
+        """ONE column-pruned scan over freshly written snapshot files
+        producing both stats layers the manifest carries:
+
+        * ``bucket_meta`` — per-bucket tombstone stats (feeds
+          ``expire_tombstones``'s no-scan bucket selection), and
+        * ``file_meta`` — per-FILE min/max zone maps for numeric /
+          timestamp / date / key columns (feeds ``read(range_filters=)``
+          file skipping — the Iceberg manifest-stats / Delta data-skipping
+          pattern; reference analog: the B-tree index scan behind
+          incremental modified-since sync,
+          /root/reference/sql/vulnerabilities.sql:128-132).
+
+        At 100 TB the scan is still ∝ the files just written (never the
+        table), reads only the stat columns, and string stats are capped
+        at 64 chars: min/max are computed over ``substring(c, 1, 65)`` —
+        prefix truncation is monotone, so the truncated min is always a
+        valid lower bound, and the truncated max is an exact upper bound
+        unless it hit the cap (then it is stored as null = unbounded).
+        """
         if not glob.glob(os.path.join(snap_dir, "bucket=*", "*.parquet")):
-            return {}  # everything purged: no files, no stats
+            return {}, {}
         df = self.spark.read.parquet(snap_dir)
-        if "is_deleted" not in df.columns or "commit_seq" not in df.columns:
-            return {}
-        rows = (
-            df.groupBy("bucket")
-            .agg(
+        zcols = self._zone_cols(df)
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        if "is_deleted" in df.columns and "commit_seq" in df.columns:
+            aggs += [
                 F.sum(
                     F.coalesce(F.col("is_deleted"), F.lit(False)).cast("int")
-                ).alias("n_tombstones"),
+                ).alias("_nt"),
                 F.min(
                     F.when(F.col("is_deleted"), F.col("commit_seq"))
-                ).alias("min_tomb_seq"),
+                ).alias("_mts"),
+            ]
+        for f_ in zcols:
+            c = (
+                F.substring(F.col(f_.name), 1, 65)
+                if f_.dataType.typeName() == "string"
+                else F.col(f_.name)
             )
+            aggs += [
+                F.min(c).alias(f"_mn_{f_.name}"),
+                F.max(c).alias(f"_mx_{f_.name}"),
+            ]
+        rows = (
+            df.groupBy(
+                F.col("bucket"), F.input_file_name().alias("_f")
+            )
+            .agg(*aggs)
             .collect()
         )
-        return {
-            str(r["bucket"]): {
-                "n_tombstones": int(r["n_tombstones"] or 0),
-                "min_tomb_seq": None
-                if r["min_tomb_seq"] is None
-                else int(r["min_tomb_seq"]),
-            }
-            for r in rows
-        }
+        bucket_meta: dict[str, dict] = {}
+        file_meta: dict[str, dict] = {}
+        root_abs = os.path.abspath(self.root)
+        for r in rows:
+            b = str(r["bucket"])
+            if "_nt" in r.asDict():
+                bm = bucket_meta.setdefault(
+                    b, {"n_tombstones": 0, "min_tomb_seq": None}
+                )
+                bm["n_tombstones"] += int(r["_nt"] or 0)
+                if r["_mts"] is not None:
+                    bm["min_tomb_seq"] = (
+                        int(r["_mts"])
+                        if bm["min_tomb_seq"] is None
+                        else min(bm["min_tomb_seq"], int(r["_mts"]))
+                    )
+            path = r["_f"]
+            if path.startswith("file:"):
+                path = re.sub(r"^file:/*", "/", path)
+            rel = os.path.relpath(path, root_abs)
+            cols = {}
+            for f_ in zcols:
+                mn = self._enc_stat(r[f"_mn_{f_.name}"])
+                mx = self._enc_stat(r[f"_mx_{f_.name}"])
+                if f_.dataType.typeName() == "string":
+                    if mn is not None and len(mn) > 64:
+                        mn = mn[:64]  # still a valid lower bound
+                    if mx is not None and len(mx) >= 65:
+                        mx = None  # truncated: unbounded above
+                cols[f_.name] = [mn, mx]
+            file_meta[rel] = {"rows": int(r["_rows"]), "cols": cols}
+        return bucket_meta, file_meta
+
+    def _carry_file_meta(
+        self, parent_m: dict | None, files: dict, new_meta: dict
+    ) -> dict:
+        """file_meta for a new manifest: fresh stats for just-written
+        files, parent stats carried forward for files still referenced."""
+        old = dict(parent_m.get("file_meta", {})) if parent_m else {}
+        old.update(new_meta)
+        live = {p for paths in files.values() for p in paths}
+        return {p: meta for p, meta in old.items() if p in live}
 
     def _commit_noop(self, parent, parent_m, epoch_key, seq_range):
         sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
@@ -725,6 +901,9 @@ class ManifestTable:
             else T.StructType([]).jsonValue(),
             "files": dict(parent_m["files"]) if parent_m else {},
             "bucket_meta": dict(parent_m.get("bucket_meta", {}))
+            if parent_m
+            else {},
+            "file_meta": dict(parent_m.get("file_meta", {}))
             if parent_m
             else {},
             "lineage": lineage,
@@ -1079,7 +1258,8 @@ class ManifestTable:
         for b in affected:
             # rewritten: tombstones with seq >= below_seq survive the purge
             bucket_meta.pop(str(b), None)
-        bucket_meta.update(self._tombstone_stats(snap_dir))
+        new_bm, new_fm = self._write_stats(snap_dir)
+        bucket_meta.update(new_bm)
         manifest = {
             "snapshot_id": sid,
             "n_buckets": self.n_buckets,
@@ -1089,6 +1269,7 @@ class ManifestTable:
             "schema": m["schema"],
             "files": files,
             "bucket_meta": bucket_meta,
+            "file_meta": self._carry_file_meta(m, files, new_fm),
             "lineage": None,
         }
         self._commit(manifest, expected_parent=m["snapshot_id"])
@@ -1146,6 +1327,7 @@ class ManifestTable:
                 os.path.join(snap_rel, os.path.basename(bdir), os.path.basename(p))
                 for p in glob.glob(os.path.join(bdir, "*.parquet"))
             ]
+        new_bm, new_fm = self._write_stats(snap_dir)
         manifest = {
             "snapshot_id": sid,
             "n_buckets": new_n_buckets,
@@ -1154,7 +1336,8 @@ class ManifestTable:
             "applied_epochs": m["applied_epochs"],
             "schema": m["schema"],
             "files": files,
-            "bucket_meta": self._tombstone_stats(snap_dir),
+            "bucket_meta": new_bm,
+            "file_meta": new_fm,
             "lineage": None,
         }
         self._commit(manifest, expected_parent=m["snapshot_id"])
