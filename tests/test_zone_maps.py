@@ -191,6 +191,90 @@ def test_stats_survive_noop_rollback_and_expiry(spark, tmp_path):
     )
 
 
+def test_cluster_enables_intra_bucket_pruning(spark, tmp_path):
+    table = ManifestTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    _batch(spark, table, _rows(range(1, 201)), 0)
+    before = _state(table.read())
+    m0 = table.manifest()
+    # pre-cluster: one wide file per bucket, nothing skippable mid-range
+    assert all(len(ps) == 1 for ps in m0["files"].values())
+    assert not table.prune_report({"commit_seq": (150, 160)})["skipped"]
+
+    sid = table.cluster(["commit_seq"], target_file_rows=25)
+    assert sid == table.current_snapshot_id()
+    m1 = table.manifest()
+    assert all(len(ps) >= 4 for ps in m1["files"].values())
+
+    # logical state unchanged
+    assert _state(table.read()) == before
+    # narrow range now skips most files INSIDE each bucket
+    rep = table.prune_report({"commit_seq": (150, 160)})
+    assert len(rep["skipped"]) > len(rep["kept"])
+    pruned = table.read(range_filters={"commit_seq": (150, 160)})
+    assert _state(pruned) == _state(
+        table.read().filter("commit_seq between 150 and 160")
+    )
+    assert len(_state(pruned)) == 11
+
+    # merges after clustering keep working and keep stats consistent
+    _batch(spark, table, _rows(range(5001, 5003)), 1)
+    m2 = table.manifest()
+    live = {p for paths in m2["files"].values() for p in paths}
+    assert set(m2["file_meta"]) == live
+
+
+def test_cluster_bucket_subset(spark, tmp_path):
+    table = ManifestTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    _batch(spark, table, _rows(range(1, 101)), 0)
+    m0 = table.manifest()
+    sid = table.cluster(["commit_seq"], target_file_rows=10, buckets=[0, 1])
+    assert sid is not None
+    m1 = table.manifest()
+    for b in ("2", "3"):
+        assert m1["files"].get(b) == m0["files"].get(b)
+    assert len(m1["files"]["0"]) > 1
+    assert _state(table.read()) == _state(
+        table.read(snapshot_id=m0["snapshot_id"])
+    )
+
+
+def test_cli_scan_and_cluster(spark, tmp_path, capsys, monkeypatch):
+    import json
+
+    from vuln_datasync_spark import cli
+
+    monkeypatch.setattr(cli, "_spark", lambda args: spark)
+    tbl = str(tmp_path / "t")
+    table = ManifestTable.create(spark, tbl, n_buckets=2)
+    _batch(spark, table, _rows(range(1, 101)), 0)
+
+    assert (
+        cli.main(
+            ["cluster", "--table", tbl, "--by", "commit_seq",
+             "--target-file-rows", "20"]
+        )
+        == 0
+    )
+    assert json.loads(capsys.readouterr().out.strip())["snapshot_id"]
+
+    assert (
+        cli.main(
+            ["scan", "--table", tbl, "--where", "commit_seq=90..", "--report"]
+        )
+        == 0
+    )
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["skipped"] > 0 and rep["kept"] > 0
+
+    assert (
+        cli.main(["scan", "--table", tbl, "--where", "commit_seq=90.."]) == 0
+    )
+    rows = [
+        json.loads(x) for x in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert sorted(r["commit_seq"] for r in rows) == list(range(90, 101))
+
+
 def test_long_string_bounds_are_safe(spark, tmp_path):
     table = ManifestTable.create(
         spark, str(tmp_path / "t"), n_buckets=1, key_cols=("repo",)

@@ -332,6 +332,84 @@ def cmd_lookup(args) -> int:
     return 0
 
 
+def _parse_bound(s: str):
+    """CLI range bound: int, float, ISO datetime (with a time part) or
+    date, else string. Empty = unbounded."""
+    if s == "":
+        return None
+    for conv in (int, float):
+        try:
+            return conv(s)
+        except ValueError:
+            pass
+    import datetime as dt
+
+    try:
+        if ":" in s or "T" in s:
+            return dt.datetime.fromisoformat(s)
+        return dt.date.fromisoformat(s)
+    except ValueError:
+        return s
+
+
+def _parse_where(clauses: list[str]) -> dict:
+    out = {}
+    for c in clauses:
+        if "=" not in c or ".." not in c.split("=", 1)[1]:
+            raise SystemExit(f"--where wants COL=LO..HI (got {c!r})")
+        col, rng = c.split("=", 1)
+        lo, hi = rng.split("..", 1)
+        out[col] = (_parse_bound(lo), _parse_bound(hi))
+    return out
+
+
+def cmd_scan(args) -> int:
+    """Range-filtered snapshot read: zone-map file skipping + residual
+    predicate, printed as JSON lines (or --report: the prune decision)."""
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    rf = _parse_where(args.where)
+    if args.report:
+        rep = table.prune_report(rf, snapshot_id=args.snapshot)
+        print(
+            json.dumps(
+                {
+                    "kept": len(rep["kept"]),
+                    "skipped": len(rep["skipped"]),
+                    "skipped_files": rep["skipped"],
+                }
+            )
+        )
+        return 0
+    df = table.read(snapshot_id=args.snapshot, range_filters=rf or None)
+    if args.limit:
+        df = df.limit(args.limit)
+    for line in df.toJSON().toLocalIterator():
+        print(line)
+    return 0
+
+
+def cmd_cluster(args) -> int:
+    """Sort-within-bucket rewrite (OPTIMIZE-lite): orders each hash
+    bucket by --by and splits it into --target-file-rows files so zone
+    maps prune inside buckets."""
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    sid = table.cluster(
+        [c.strip() for c in args.by.split(",") if c.strip()],
+        target_file_rows=args.target_file_rows,
+        buckets=(
+            [int(b) for b in args.buckets.split(",")] if args.buckets else None
+        ),
+    )
+    print(json.dumps({"snapshot_id": sid}))
+    return 0
+
+
 def cmd_sync_agg(args) -> int:
     """Advance a materialized per-dimension aggregate to the table's
     current snapshot via the preimage change feed (O(delta) per sync)."""
@@ -515,6 +593,33 @@ def build_parser() -> argparse.ArgumentParser:
         help="key values ('a||b' for composite keys) or aliases",
     )
     lk.set_defaults(fn=cmd_lookup)
+
+    sc = sub.add_parser(
+        "scan", help="range-filtered read with zone-map file skipping"
+    )
+    sc.add_argument("--table", required=True)
+    sc.add_argument(
+        "--where",
+        action="append",
+        default=[],
+        metavar="COL=LO..HI",
+        help="inclusive range; leave a side empty for unbounded",
+    )
+    sc.add_argument("--snapshot")
+    sc.add_argument("--limit", type=int, default=0)
+    sc.add_argument(
+        "--report", action="store_true", help="print the prune decision only"
+    )
+    sc.set_defaults(fn=cmd_scan)
+
+    cl = sub.add_parser(
+        "cluster", help="sort-within-bucket rewrite for read locality"
+    )
+    cl.add_argument("--table", required=True)
+    cl.add_argument("--by", required=True, help="comma-separated sort columns")
+    cl.add_argument("--target-file-rows", type=int)
+    cl.add_argument("--buckets", help="comma-separated bucket subset")
+    cl.set_defaults(fn=cmd_cluster)
 
     sa = sub.add_parser(
         "sync-agg", help="advance a materialized aggregate via the feed"

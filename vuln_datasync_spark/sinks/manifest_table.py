@@ -1352,6 +1352,84 @@ class ManifestTable:
         os.replace(tpath + ".tmp", tpath)
         return sid
 
+    def cluster(
+        self,
+        sort_by: list[str] | tuple[str, ...],
+        target_file_rows: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> str | None:
+        """Maintenance rewrite: sort rows WITHIN each hash bucket by
+        ``sort_by`` and split each bucket into ~``target_file_rows``-row
+        files. Logical state is unchanged; what changes is physical
+        layout: after clustering, consecutive files cover disjoint
+        ``sort_by`` ranges, so the per-file zone maps (``_write_stats``)
+        turn a ``read(range_filters=...)`` into an I/O-∝-selectivity scan
+        *inside* each bucket, and parquet row-group stats tighten the
+        rest. This is the Delta OPTIMIZE ZORDER-lite / Iceberg
+        rewrite_data_files(sort) analog: hash-bucket by key for merge
+        locality, order by time within the bucket for read locality.
+
+        ``buckets`` limits the rewrite to a subset (incremental
+        clustering during maintenance windows); untouched buckets carry
+        forward by reference. At 100 TB: work ∝ rewritten buckets, one
+        shuffle (the repartition), sort is per-partition spillable."""
+        m = self.manifest()
+        if m is None:
+            return None
+        self._sync_layout(m)
+        affected = (
+            sorted(buckets)
+            if buckets is not None
+            else sorted(int(b) for b in m["files"])
+        )
+        affected = [b for b in affected if m["files"].get(str(b))]
+        if not affected:
+            return None
+        full = self.read(include_tombstones=True, buckets=affected)
+        full = full.withColumn("_bucket", self.bucket_expr())
+        sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        snap_rel = os.path.join("data", f"snap-{sid}")
+        snap_dir = os.path.join(self.root, snap_rel)
+        w = (
+            full.repartition(len(affected), "_bucket")
+            .sortWithinPartitions("_bucket", *sort_by)
+            .withColumnRenamed("_bucket", "bucket")
+            .write.partitionBy("bucket")
+        )
+        if target_file_rows:
+            w = w.option("maxRecordsPerFile", int(target_file_rows))
+        w.parquet(snap_dir)
+        new_files: dict[str, list[str]] = {}
+        for bdir in glob.glob(os.path.join(snap_dir, "bucket=*")):
+            b = bdir.rsplit("=", 1)[1]
+            new_files[b] = sorted(
+                os.path.join(snap_rel, os.path.basename(bdir), os.path.basename(p))
+                for p in glob.glob(os.path.join(bdir, "*.parquet"))
+            )
+        files = dict(m["files"])
+        for b in affected:
+            files.pop(str(b), None)
+        files.update(new_files)
+        bucket_meta = dict(m.get("bucket_meta", {}))
+        for b in affected:
+            bucket_meta.pop(str(b), None)
+        new_bm, new_fm = self._write_stats(snap_dir)
+        bucket_meta.update(new_bm)
+        manifest = {
+            "snapshot_id": sid,
+            "n_buckets": self.n_buckets,
+            "parent": m["snapshot_id"],
+            "epoch": f"maintenance:cluster:{sid}",
+            "applied_epochs": m["applied_epochs"],
+            "schema": m["schema"],
+            "files": files,
+            "bucket_meta": bucket_meta,
+            "file_meta": self._carry_file_meta(m, files, new_fm),
+            "lineage": None,
+        }
+        self._commit(manifest, expected_parent=m["snapshot_id"])
+        return sid
+
     def expire_snapshots(self, keep: int = 3):
         """Drop manifests (and data files unreachable from the kept set) —
         Iceberg expire_snapshots analog; reference analog: retention cleanup
