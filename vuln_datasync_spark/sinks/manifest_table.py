@@ -42,6 +42,7 @@ import json
 import logging
 import os
 import re
+import shutil
 import time
 import uuid
 
@@ -53,6 +54,11 @@ from ..functions.normalize import LWW_ORDER_COLS
 from ..operators.lww import lww_resolve
 
 logger = logging.getLogger("vuln_datasync_spark.manifest_table")
+
+class CommitConflict(RuntimeError):
+    """Optimistic commit refused: the table's current snapshot moved
+    between plan and pointer swap (another writer committed first)."""
+
 
 KEY_COLS = ("repo", "path")
 LINEAGE_DDL = (
@@ -583,6 +589,7 @@ class ManifestTable:
         checkpoint_id: str = "adhoc",
         batch_id: int = 0,
         seq_range=None,
+        max_commit_retries: int = 3,
     ) -> dict | None:
         """MERGE one-winner-per-key batch into the table.
 
@@ -593,7 +600,16 @@ class ManifestTable:
         ``seq_range`` may be a (start, end) tuple or a zero-arg callable
         resolved after the first batch action (lets the caller capture the
         source offset range via DataFrame.observe with no extra scan).
-        """
+
+        ``max_commit_retries``: on an optimistic-commit conflict (another
+        writer's pointer swap won the race — e.g. a concurrent maintenance
+        job or a second ingest stream), re-read the new current snapshot
+        and re-merge the SAME persisted batch against it, up to this many
+        times (Iceberg commit-retry semantics). The epoch check re-runs
+        each attempt, so two writers racing the same (checkpoint, batch)
+        stay exactly-once: the loser observes the winner's epoch and
+        returns None. Work per retry ∝ touched buckets (the batch is
+        cached; only the target read + write redo)."""
         parent = self.current_snapshot_id()
         parent_m = self.manifest(parent) if parent else None
         self._sync_layout(parent_m)
@@ -616,20 +632,47 @@ class ManifestTable:
         # lang sniff included) and both LWW shuffles — would execute twice,
         # and the affected-bucket list would silently depend on the input
         # being deterministic across the two executions.
-        batch = batch.persist()
+        batch = cached = batch.persist()
         try:
-            return self._merge_persisted(
-                batch,
-                parent,
-                parent_m,
-                applied,
-                epoch_key,
-                seq_range,
-                checkpoint_id,
-                batch_id,
-            )
+            attempt = 0
+            while True:
+                try:
+                    return self._merge_persisted(
+                        batch,
+                        parent,
+                        parent_m,
+                        applied,
+                        epoch_key,
+                        seq_range,
+                        checkpoint_id,
+                        batch_id,
+                    )
+                except CommitConflict:
+                    if attempt >= max_commit_retries:
+                        raise
+                    attempt += 1
+                    logger.warning(
+                        "commit conflict on %s (attempt %d/%d): re-merging "
+                        "against the new current snapshot",
+                        epoch_key, attempt, max_commit_retries,
+                    )
+                    parent = self.current_snapshot_id()
+                    parent_m = self.manifest(parent) if parent else None
+                    n0 = self.n_buckets
+                    self._sync_layout(parent_m)
+                    applied = (
+                        set(parent_m["applied_epochs"]) if parent_m else set()
+                    )
+                    if epoch_key in applied:
+                        return None  # the racing writer committed our epoch
+                    if self.n_buckets != n0:
+                        # a rebucket won the race: re-route the batch on
+                        # the new modulus (cheap — reads from the cache)
+                        batch = cached.drop("_bucket").withColumn(
+                            "_bucket", self.bucket_expr()
+                        )
         finally:
-            batch.unpersist()
+            cached.unpersist()
 
     def _merge_persisted(
         self,
@@ -746,7 +789,13 @@ class ManifestTable:
             "file_meta": self._carry_file_meta(parent_m, files, new_fm),
             "lineage": lineage,
         }
-        self._commit(manifest, expected_parent=parent)
+        try:
+            self._commit(manifest, expected_parent=parent)
+        except CommitConflict:
+            # this attempt's data files are unreachable from any manifest —
+            # drop them now instead of waiting for expire_snapshots' sweep
+            shutil.rmtree(snap_dir, ignore_errors=True)
+            raise
         self._append_lineage(lineage)
         return lineage
 
@@ -914,7 +963,7 @@ class ManifestTable:
 
     def _commit(self, manifest: dict, expected_parent: str | None):
         if self.current_snapshot_id() != expected_parent:
-            raise RuntimeError("concurrent commit detected (parent moved)")
+            raise CommitConflict("concurrent commit detected (parent moved)")
         sid = manifest["snapshot_id"]
         mpath = os.path.join(self.root, "_manifests", f"{sid}.json")
         with open(mpath + ".tmp", "w") as f:
