@@ -1,0 +1,115 @@
+"""delete_where: predicate deletes expressed as CDC tombstones through
+the normal MERGE — payload nulled in the tombstone, change feed sees
+delete rows, epochs stay exactly-once, later genuine events resurrect,
+and range_filters scope the scan via zone maps."""
+
+import json
+
+from pyspark.sql import types as T
+
+from vuln_datasync_spark.sinks.manifest_table import ManifestTable
+from vuln_datasync_spark.streaming.pipeline import apply_batch
+
+CHANGELOG_SCHEMA = T.StructType(
+    [
+        T.StructField("commit_seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("size_bytes", T.LongType()),
+    ]
+)
+
+
+def _rows(seqs, repo="r0"):
+    return [
+        (s, "insert", repo, f"f{s}.py", f"c{s}", "py", f"secret{s}", None, s)
+        for s in seqs
+    ]
+
+
+def _apply(spark, table, rows, bid, ckpt="dw"):
+    return apply_batch(
+        spark.createDataFrame(rows, CHANGELOG_SCHEMA), table, ckpt, bid
+    )
+
+
+def test_delete_where_basic_and_payload_nulled(spark, tmp_path):
+    table = ManifestTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    _apply(spark, table, _rows(range(1, 11), "keep") + _rows(range(21, 26), "gone"), 0)
+
+    rec = table.delete_where("repo = 'gone'")
+    assert rec["rows_applied"] == 5
+    assert {r["repo"] for r in table.read().collect()} == {"keep"}
+
+    # tombstones exist, outrank the stored rows, and carry NO payload
+    tombs = (
+        table.read(include_tombstones=True)
+        .filter("is_deleted")
+        .collect()
+    )
+    assert len(tombs) == 5
+    for r in tombs:
+        assert r["content"] is None and r["size_bytes"] is None
+        assert r["op"] == "delete"
+        assert r["commit_seq"] == int(r["path"][1:-3]) + 1
+
+    # exactly-once: same epoch replays to None, state unchanged
+    assert table.delete_where("repo = 'keep'") is None
+    assert table.read().count() == 10
+
+
+def test_delete_where_feeds_change_feed_and_resurrects(spark, tmp_path):
+    table = ManifestTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    _apply(spark, table, _rows(range(1, 6)), 0)
+    s1 = table.current_snapshot_id()
+    table.delete_where("path = 'f2.py'", batch_id=1)
+    s2 = table.current_snapshot_id()
+
+    ch = table.read_changes(s1, s2).collect()
+    assert [(r["_change_type"], r["path"]) for r in ch] == [
+        ("delete", "f2.py")
+    ]
+
+    # a later genuine event resurrects the key (its seq beats seq+1)
+    _apply(spark, table, [(100, "insert", "r0", "f2.py", "c100", "py",
+                           "back", None, 1)], 2)
+    got = table.read().filter("path = 'f2.py'").collect()
+    assert [r["content"] for r in got] == ["back"]
+
+
+def test_delete_where_range_scoped_scan(spark, tmp_path):
+    table = ManifestTable.create(spark, str(tmp_path / "t"), n_buckets=8)
+    _apply(spark, table, _rows(range(1, 41)), 0)
+    _apply(spark, table, _rows(range(9001, 9003)), 1)
+
+    # zone maps let the takedown scan skip the low-seq files entirely
+    assert table.prune_report({"commit_seq": (9001, None)})["skipped"]
+    rec = table.delete_where(
+        "size_bytes >= 9001", range_filters={"commit_seq": (9001, None)}
+    )
+    assert rec["rows_applied"] == 2
+    assert table.read().count() == 40
+
+
+def test_cli_delete_where(spark, tmp_path, capsys, monkeypatch):
+    from vuln_datasync_spark import cli
+
+    monkeypatch.setattr(cli, "_spark", lambda args: spark)
+    tbl = str(tmp_path / "t")
+    table = ManifestTable.create(spark, tbl, n_buckets=2)
+    _apply(spark, table, _rows(range(1, 6)), 0)
+
+    assert (
+        cli.main(
+            ["delete-where", "--table", tbl, "--predicate", "commit_seq <= 2"]
+        )
+        == 0
+    )
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["rows_deleted"] == 2
+    assert table.read().count() == 3

@@ -391,6 +391,32 @@ def cmd_scan(args) -> int:
     return 0
 
 
+def cmd_delete_where(args) -> int:
+    """Predicate delete routed through MERGE as tombstone events (the
+    takedown path — change feed and index syncs observe it like CDC)."""
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    rec = table.delete_where(
+        args.predicate,
+        checkpoint_id=args.checkpoint_id,
+        batch_id=args.batch_id,
+        range_filters=_parse_where(args.where) or None,
+    )
+    print(
+        json.dumps(
+            {"status": "replayed-epoch"}
+            if rec is None
+            else {
+                "rows_deleted": rec["rows_applied"],
+                "snapshot_id": rec["snapshot_id"],
+            }
+        )
+    )
+    return 0
+
+
 def cmd_cluster(args) -> int:
     """Sort-within-bucket rewrite (OPTIMIZE-lite): orders each hash
     bucket by --by and splits it into --target-file-rows files so zone
@@ -611,6 +637,24 @@ def build_parser() -> argparse.ArgumentParser:
         "--report", action="store_true", help="print the prune decision only"
     )
     sc.set_defaults(fn=cmd_scan)
+
+    dw = sub.add_parser(
+        "delete-where", help="predicate delete as CDC tombstones"
+    )
+    dw.add_argument("--table", required=True)
+    dw.add_argument(
+        "--predicate", required=True, help="SQL condition, e.g. \"repo = 'x'\""
+    )
+    dw.add_argument(
+        "--where",
+        action="append",
+        default=[],
+        metavar="COL=LO..HI",
+        help="optional zone-map scan scope",
+    )
+    dw.add_argument("--checkpoint-id", default="delete-where")
+    dw.add_argument("--batch-id", type=int, default=0)
+    dw.set_defaults(fn=cmd_delete_where)
 
     cl = sub.add_parser(
         "cluster", help="sort-within-bucket rewrite for read locality"

@@ -799,6 +799,62 @@ class ManifestTable:
         self._append_lineage(lineage)
         return lineage
 
+    def delete_where(
+        self,
+        condition,
+        checkpoint_id: str = "delete-where",
+        batch_id: int = 0,
+        range_filters: dict | None = None,
+    ) -> dict | None:
+        """Predicate delete (takedown / right-to-erasure path; reference
+        analog: the delete sink, /root/reference/internal/database —
+        here expressed as CDC): synthesize one tombstone event per
+        matching LIVE row, outranking the stored row (its own
+        ``commit_seq + 1``), and route it through the normal MERGE.
+        Everything downstream therefore observes the deletes like any
+        other CDC event: exactly-once epochs, lineage, ``read_changes``
+        (delete rows), and the feed-driven index syncs (ANN / minhash /
+        alias) clear the affected entries on their next sync.
+
+        The tombstone keeps ONLY key + order columns — every payload
+        column is nulled, so the erased content does not survive in the
+        tombstone (it does survive in older snapshots until
+        ``expire_snapshots``; run that plus ``expire_tombstones`` to
+        complete a hard erasure).
+
+        ``condition``: SQL string or Column. ``range_filters`` optionally
+        scopes the scan with zone-map file skipping — a takedown keyed by
+        time or id range reads only the overlapping files, not the table.
+        A later genuine event with a higher commit_seq still wins: keys
+        deleted here resurrect correctly if the source re-adds them.
+
+        Returns the merge lineage record (rows_applied = rows deleted),
+        or None if this epoch already committed."""
+        m = self.manifest()
+        if m is None:
+            return None
+        matched = self.read(range_filters=range_filters).filter(condition)
+        schema = T.StructType.fromJson(m["schema"])
+        keep = set(self.key_cols) | {"commit_seq"}
+        proj = []
+        for f_ in schema.fields:
+            if f_.name == "is_deleted":
+                continue
+            if f_.name in keep:
+                proj.append(F.col(f_.name))
+            elif f_.name == "op":
+                proj.append(F.lit("delete").alias("op"))
+            elif f_.name == "commit":
+                proj.append(F.lit(f"del:{checkpoint_id}").alias("commit"))
+            else:
+                proj.append(
+                    F.lit(None).cast(f_.dataType).alias(f_.name)
+                )
+        ev = matched.select(*proj).withColumn(
+            "commit_seq", F.col("commit_seq") + F.lit(1)
+        )
+        return self.merge(ev, checkpoint_id=checkpoint_id, batch_id=batch_id)
+
     def _zone_cols(self, df: DataFrame) -> list[T.StructField]:
         """Columns eligible for per-file zone-map stats: every numeric /
         timestamp / date column, plus STRING columns only when they are
