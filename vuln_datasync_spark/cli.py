@@ -391,6 +391,25 @@ def cmd_scan(args) -> int:
     return 0
 
 
+def cmd_tag(args) -> int:
+    """Named snapshot refs (dataset versioning): create, list, drop."""
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    if args.list:
+        print(json.dumps(table.refs()["tags"]))
+    elif args.drop:
+        table.drop_tag(args.drop)
+        print(json.dumps({"dropped": args.drop}))
+    else:
+        if not args.name:
+            raise SystemExit("tag wants a NAME (or --list / --drop NAME)")
+        sid = table.tag(args.name, snapshot_id=args.snapshot)
+        print(json.dumps({"tag": args.name, "snapshot_id": sid}))
+    return 0
+
+
 def cmd_delete_where(args) -> int:
     """Predicate delete routed through MERGE as tombstone events (the
     takedown path — change feed and index syncs observe it like CDC)."""
@@ -637,6 +656,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--report", action="store_true", help="print the prune decision only"
     )
     sc.set_defaults(fn=cmd_scan)
+
+    tg = sub.add_parser("tag", help="named snapshot refs (pin a dataset)")
+    tg.add_argument("--table", required=True)
+    tg.add_argument("name", nargs="?", help="tag name to create")
+    tg.add_argument("--snapshot", help="snapshot to pin (default: current)")
+    tg.add_argument("--list", action="store_true")
+    tg.add_argument("--drop", metavar="NAME")
+    tg.set_defaults(fn=cmd_tag)
 
     dw = sub.add_parser(
         "delete-where", help="predicate delete as CDC tombstones"

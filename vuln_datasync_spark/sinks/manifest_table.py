@@ -200,7 +200,48 @@ class ManifestTable:
         sid = snapshot_id or self.current_snapshot_id()
         if sid is None:
             return None
+        tags = self.refs()["tags"]
+        sid = tags.get(sid, sid)  # tag names resolve anywhere a sid goes
         return self._read_json(os.path.join(self.root, "_manifests", f"{sid}.json"))
+
+    # ---------- refs (named snapshots) ----------
+
+    def refs(self) -> dict:
+        r = self._read_json(os.path.join(self.root, "_refs.json"))
+        return r if r else {"tags": {}}
+
+    def _write_refs(self, refs: dict) -> None:
+        p = os.path.join(self.root, "_refs.json")
+        with open(p + ".tmp", "w") as f:
+            json.dump(refs, f)
+        os.replace(p + ".tmp", p)
+
+    def tag(self, name: str, snapshot_id: str | None = None) -> str:
+        """Pin a named, immutable ref to a snapshot (Iceberg tag analog).
+        Dataset versioning for training runs: ``tag("corpus-v3")`` freezes
+        the exact file set a run trained on; ``read("corpus-v3")``,
+        ``read_changes("corpus-v2", "corpus-v3")`` and
+        ``rollback("corpus-v3")`` all resolve the name, and
+        ``expire_snapshots`` never drops a tagged snapshot's manifest or
+        data files. Pure metadata — no data movement at any scale."""
+        sid = snapshot_id or self.current_snapshot_id()
+        if sid is None:
+            raise ValueError("no snapshot to tag")
+        refs = self.refs()
+        sid = refs["tags"].get(sid, sid)
+        if self._read_json(
+            os.path.join(self.root, "_manifests", f"{sid}.json")
+        ) is None:
+            raise ValueError(f"unknown snapshot {sid!r}")
+        refs["tags"][name] = sid
+        self._write_refs(refs)
+        return sid
+
+    def drop_tag(self, name: str) -> None:
+        refs = self.refs()
+        if name in refs["tags"]:
+            del refs["tags"][name]
+            self._write_refs(refs)
 
     def snapshots(self) -> list[dict]:
         out = []
@@ -400,6 +441,7 @@ class ManifestTable:
         The bucket layout (modulus) also reverts if a ``rebucket``
         happened in between; the next merge's ``_sync_layout`` picks it
         up. Returns the new snapshot id."""
+        snapshot_id = self.refs()["tags"].get(snapshot_id, snapshot_id)
         target = self.manifest(snapshot_id)
         if target is None:
             raise ValueError(f"unknown snapshot {snapshot_id!r}")
@@ -1540,7 +1582,18 @@ class ManifestTable:
         Iceberg expire_snapshots analog; reference analog: retention cleanup
         /root/reference/internal/jobs/server.go:690-727."""
         snaps = self.snapshots()
-        keep_m = snaps[-keep:] if keep else snaps
+        chain_keep = snaps[-keep:] if keep else snaps
+        keep_m = list(chain_keep)
+        # tagged snapshots are pinned: their manifest and data files
+        # survive expiry until the tag is dropped
+        for sid in set(self.refs()["tags"].values()):
+            tm = self._read_json(
+                os.path.join(self.root, "_manifests", f"{sid}.json")
+            )
+            if tm is not None and sid not in {
+                m["snapshot_id"] for m in keep_m
+            }:
+                keep_m = [tm] + keep_m
         live: set[str] = set()
         for m in keep_m:
             for paths in m["files"].values():
@@ -1553,14 +1606,15 @@ class ManifestTable:
                         self.root, "_manifests", f"{m['snapshot_id']}.json"
                     )
                 )
-        # re-root the chain
-        if keep_m:
-            keep_m[0]["parent"] = None
+        # re-root the chain (the oldest kept CHAIN member, never a merely
+        # tag-pinned manifest — a tag must not rewrite history linkage)
+        if chain_keep:
+            chain_keep[0]["parent"] = None
             p = os.path.join(
-                self.root, "_manifests", f"{keep_m[0]['snapshot_id']}.json"
+                self.root, "_manifests", f"{chain_keep[0]['snapshot_id']}.json"
             )
             with open(p + ".tmp", "w") as f:
-                json.dump(keep_m[0], f)
+                json.dump(chain_keep[0], f)
             os.replace(p + ".tmp", p)
         for f_ in glob.glob(os.path.join(self.root, "data", "snap-*", "bucket=*", "*.parquet")):
             rel = os.path.relpath(f_, self.root)
