@@ -5,6 +5,8 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ...,
    "cdc": {"events": N, "events_per_sec": ...,
            "lww_maxby_sec": ..., "lww_salted_sec": ...},
+   "zone": {"cluster_sec": ..., "files_kept": ..., "files_skipped": ...,
+            "scan_full_sec": ..., "scan_pruned_sec": ..., "speedup": ...},
    "scaling": {"local[8]": eps, "local[32]": eps, "efficiency": e}}
 
 Components:
@@ -82,7 +84,13 @@ def ensure_changelog(n_events: int) -> str:
     return log_dir
 
 
-def replay(spark, log_dir: str, lww_mode: str = "auto", warmup: bool = True) -> dict:
+def replay(
+    spark,
+    log_dir: str,
+    lww_mode: str = "auto",
+    warmup: bool = True,
+    keep: bool = False,
+) -> dict:
     """Timed full-log replay into a fresh table; returns events, sec, eps.
 
     A small warmup replay first: Python UDF workers, codegen, and file
@@ -112,9 +120,13 @@ def replay(spark, log_dir: str, lww_mode: str = "auto", warmup: bool = True) -> 
         raw, table, "bench", 0, lww_mode=lww_mode, broadcast_winners=bcast
     )
     sec = time.monotonic() - t0
-    shutil.rmtree(tbl_dir, ignore_errors=True)
     assert lineage is not None and lineage["rows_applied"] > 0
-    return {"events": n, "sec": round(sec, 3), "events_per_sec": round(n / sec, 1)}
+    out = {"events": n, "sec": round(sec, 3), "events_per_sec": round(n / sec, 1)}
+    if keep:
+        out["table_root"] = os.path.join(tbl_dir, "t")
+    else:
+        shutil.rmtree(tbl_dir, ignore_errors=True)
+    return out
 
 
 def replay_worker(master: str, log_dir: str, lww_mode: str = "auto"):
@@ -273,6 +285,57 @@ def bench_ingest(spark) -> dict:
     return out
 
 
+def bench_zone(spark, log_dir: str, n_events: int) -> dict:
+    """Zone-map data skipping on an events-archive table: bulk-load the
+    full changelog keyed by its unique commit_seq (the append fast path),
+    cluster each bucket into seq-sorted bounded files, then compare a
+    recency scan (last 5% of the sequence space) with and without
+    manifest file skipping. At 100 TB the pruned variant opens only the
+    overlapping tail files — I/O ∝ selectivity, not table size."""
+    from pyspark.sql import functions as F
+
+    from vuln_datasync_spark.sinks import ManifestTable
+
+    sink_base = "/dev/shm/vds-bench" if os.path.isdir("/dev/shm") else WORK
+    os.makedirs(sink_base, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="vds_zone_", dir=sink_base)
+    table = ManifestTable.create(
+        spark, os.path.join(base, "t"), n_buckets=64,
+        key_cols=("commit_seq",),
+    )
+    raw = spark.read.schema(CHANGELOG_SCHEMA).parquet(log_dir)
+    out = {}
+    t0 = time.monotonic()
+    table.merge(raw, "zone", 0)
+    out["archive_load_sec"] = round(time.monotonic() - t0, 3)
+
+    target = max(100, n_events // (64 * 8))
+    t0 = time.monotonic()
+    table.cluster(["commit_seq"], target_file_rows=target)
+    out["cluster_sec"] = round(time.monotonic() - t0, 3)
+
+    lo = int(n_events * 0.95)
+    rep = table.prune_report({"commit_seq": (lo, None)})
+    out["files_kept"] = len(rep["kept"])
+    out["files_skipped"] = len(rep["skipped"])
+
+    t0 = time.monotonic()
+    table.read().filter(F.col("commit_seq") >= lo).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["scan_full_sec"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    table.read(range_filters={"commit_seq": (lo, None)}).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["scan_pruned_sec"] = round(time.monotonic() - t0, 3)
+    out["speedup"] = round(
+        out["scan_full_sec"] / max(out["scan_pruned_sec"], 1e-9), 2
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def main():
     os.makedirs(WORK, exist_ok=True)
     if len(sys.argv) > 1 and sys.argv[1] == "--replay-worker":
@@ -320,6 +383,7 @@ def main():
         spark.read.schema(CHANGELOG_SCHEMA).parquet(log_dir), "auto"
     )
     timings["cdc_replay"] = r["sec"]
+    zone = bench_zone(spark, log_dir, N_EVENTS)
     ingest = bench_ingest(spark)
     spark.stop()
 
@@ -339,6 +403,7 @@ def main():
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cdc": cdc,
+        "zone": zone,
         "ingest": ingest,
         "scaling": scaling,
     }
