@@ -391,6 +391,28 @@ def cmd_scan(args) -> int:
     return 0
 
 
+def cmd_maintain(args) -> int:
+    """One stat-driven maintenance pass: tombstone expiry, zone-decay
+    re-clustering, snapshot expiry, sidecar compaction — decisions from
+    manifest JSON only."""
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    rep = table.maintain(
+        tombstone_watermark=args.tombstone_watermark,
+        tombstone_fraction=args.tombstone_fraction,
+        cluster_sort=(
+            tuple(c.strip() for c in args.cluster_by.split(","))
+            if args.cluster_by
+            else None
+        ),
+        keep_snapshots=args.keep_snapshots,
+    )
+    print(json.dumps(rep))
+    return 0
+
+
 def cmd_tag(args) -> int:
     """Named snapshot refs (dataset versioning): create, list, drop."""
     from .sinks.manifest_table import ManifestTable
@@ -656,6 +678,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--report", action="store_true", help="print the prune decision only"
     )
     sc.set_defaults(fn=cmd_scan)
+
+    mn = sub.add_parser(
+        "maintain", help="stat-driven maintenance pass (table doctor)"
+    )
+    mn.add_argument("--table", required=True)
+    mn.add_argument("--tombstone-watermark", type=int)
+    mn.add_argument("--tombstone-fraction", type=float, default=0.2)
+    mn.add_argument("--cluster-by", help="comma-separated sort columns")
+    mn.add_argument("--keep-snapshots", type=int, default=3)
+    mn.set_defaults(fn=cmd_maintain)
 
     tg = sub.add_parser("tag", help="named snapshot refs (pin a dataset)")
     tg.add_argument("--table", required=True)

@@ -140,6 +140,8 @@ class ManifestTable:
             raise FileNotFoundError(f"no ManifestTable at {root} (use .create)")
         self.n_buckets = meta["n_buckets"]
         self.key_cols = tuple(meta["key_cols"])
+        self.write_sort = tuple(meta.get("write_sort") or ())
+        self.target_file_rows = meta.get("target_file_rows")
         # the CURRENT manifest is authoritative for the bucket layout:
         # rebucket commits the new layout atomically with its files, while
         # _table.json is only a bootstrap (swapped after commit) — a crash
@@ -157,12 +159,39 @@ class ManifestTable:
         root: str,
         n_buckets: int = 32,
         key_cols: tuple[str, ...] = KEY_COLS,
+        write_sort: tuple[str, ...] | None = None,
+        target_file_rows: int | None = None,
     ) -> "ManifestTable":
+        """``write_sort`` + ``target_file_rows``: the always-clustered
+        layout. Every bucket rewrite (merge, expiry, rebucket) sorts the
+        bucket by these columns and splits it into ~target-row files, so
+        the per-file zone maps prune range reads WITHOUT a separate
+        ``cluster()`` maintenance pass. Costs one in-partition sort per
+        rewritten bucket at write time — the right trade for
+        read-mostly / time-scanned tables; leave unset for
+        write-heavy tables and run ``cluster()`` in maintenance windows
+        instead."""
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         with open(os.path.join(root, "_table.json"), "w") as f:
-            json.dump({"n_buckets": n_buckets, "key_cols": list(key_cols)}, f)
+            json.dump(
+                {
+                    "n_buckets": n_buckets,
+                    "key_cols": list(key_cols),
+                    "write_sort": list(write_sort or ()),
+                    "target_file_rows": target_file_rows,
+                },
+                f,
+            )
         return cls(spark, root)
+
+    def _layout_meta(self, n_buckets: int) -> dict:
+        return {
+            "n_buckets": n_buckets,
+            "key_cols": list(self.key_cols),
+            "write_sort": list(self.write_sort),
+            "target_file_rows": self.target_file_rows,
+        }
 
     def _sync_layout(self, m: dict | None) -> None:
         """Adopt the bucket layout of a freshly read manifest. A rebucket
@@ -780,11 +809,9 @@ class ManifestTable:
         sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         snap_rel = os.path.join("data", f"snap-{sid}")
         snap_dir = os.path.join(self.root, snap_rel)
-        (
-            merged.repartition(len(affected), "_bucket")
-            .withColumnRenamed("_bucket", "bucket")
-            .write.partitionBy("bucket")
-            .parquet(snap_dir)
+        self._write_bucketed(
+            merged, snap_dir, len(affected),
+            self.write_sort, self.target_file_rows,
         )
 
         new_files: dict[str, list[str]] = {}
@@ -840,6 +867,30 @@ class ManifestTable:
             raise
         self._append_lineage(lineage)
         return lineage
+
+    def _write_bucketed(
+        self,
+        df: DataFrame,
+        snap_dir: str,
+        n_parts: int,
+        sort_by: tuple[str, ...] = (),
+        target_rows: int | None = None,
+    ) -> None:
+        """One bucket-partitioned snapshot write. ``sort_by`` (usually
+        the table's ``write_sort``) orders rows within each bucket so
+        split files carry disjoint zone ranges; columns not present in
+        this frame are skipped (pre-schema-evolution batches)."""
+        out = df.repartition(n_parts, "_bucket")
+        sort_cols = [c for c in sort_by if c in df.columns]
+        if sort_cols:
+            out = out.sortWithinPartitions("_bucket", *sort_cols)
+        w = (
+            out.withColumnRenamed("_bucket", "bucket")
+            .write.partitionBy("bucket")
+        )
+        if target_rows:
+            w = w.option("maxRecordsPerFile", int(target_rows))
+        w.parquet(snap_dir)
 
     def delete_where(
         self,
@@ -1384,11 +1435,9 @@ class ManifestTable:
         sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         snap_rel = os.path.join("data", f"snap-{sid}")
         snap_dir = os.path.join(self.root, snap_rel)
-        (
-            kept.repartition(len(affected), "_bucket")
-            .withColumnRenamed("_bucket", "bucket")
-            .write.partitionBy("bucket")
-            .parquet(snap_dir)
+        self._write_bucketed(
+            kept, snap_dir, len(affected),
+            self.write_sort, self.target_file_rows,
         )
         new_files: dict[str, list[str]] = {b: [] for b in map(str, affected)}
         for bdir in glob.glob(os.path.join(snap_dir, "bucket=*")):
@@ -1444,7 +1493,7 @@ class ManifestTable:
             tpath = os.path.join(self.root, "_table.json")
             with open(tpath + ".tmp", "w") as f:
                 json.dump(
-                    {"n_buckets": new_n_buckets, "key_cols": list(self.key_cols)},
+                    self._layout_meta(new_n_buckets),
                     f,
                 )
             os.replace(tpath + ".tmp", tpath)
@@ -1460,12 +1509,10 @@ class ManifestTable:
         sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         snap_rel = os.path.join("data", f"snap-{sid}")
         snap_dir = os.path.join(self.root, snap_rel)
-        (
-            full.withColumn("_bucket", new_bucket)
-            .repartition(new_n_buckets, "_bucket")
-            .withColumnRenamed("_bucket", "bucket")
-            .write.partitionBy("bucket")
-            .parquet(snap_dir)
+        self._write_bucketed(
+            full.withColumn("_bucket", new_bucket),
+            snap_dir, new_n_buckets,
+            self.write_sort, self.target_file_rows,
         )
         files: dict[str, list[str]] = {}
         for bdir in glob.glob(os.path.join(snap_dir, "bucket=*")):
@@ -1494,7 +1541,7 @@ class ManifestTable:
         tpath = os.path.join(self.root, "_table.json")
         with open(tpath + ".tmp", "w") as f:
             json.dump(
-                {"n_buckets": new_n_buckets, "key_cols": list(self.key_cols)}, f
+                self._layout_meta(new_n_buckets), f
             )
         os.replace(tpath + ".tmp", tpath)
         return sid
@@ -1537,15 +1584,9 @@ class ManifestTable:
         sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         snap_rel = os.path.join("data", f"snap-{sid}")
         snap_dir = os.path.join(self.root, snap_rel)
-        w = (
-            full.repartition(len(affected), "_bucket")
-            .sortWithinPartitions("_bucket", *sort_by)
-            .withColumnRenamed("_bucket", "bucket")
-            .write.partitionBy("bucket")
+        self._write_bucketed(
+            full, snap_dir, len(affected), tuple(sort_by), target_file_rows
         )
-        if target_file_rows:
-            w = w.option("maxRecordsPerFile", int(target_file_rows))
-        w.parquet(snap_dir)
         new_files: dict[str, list[str]] = {}
         for bdir in glob.glob(os.path.join(snap_dir, "bucket=*")):
             b = bdir.rsplit("=", 1)[1]
@@ -1576,6 +1617,110 @@ class ManifestTable:
         }
         self._commit(manifest, expected_parent=m["snapshot_id"])
         return sid
+
+    def maintain(
+        self,
+        tombstone_watermark: int | None = None,
+        tombstone_fraction: float = 0.2,
+        cluster_sort: tuple[str, ...] | None = None,
+        overlap_threshold: float = 0.25,
+        keep_snapshots: int = 3,
+        sidecar_max_files: int = 64,
+    ) -> dict:
+        """One stat-driven maintenance pass (the table doctor). EVERY
+        decision reads manifest JSON only — zero table scans at any
+        scale; work is then ∝ the buckets actually rewritten:
+
+        * tombstone expiry — when manifest tombstone counts reach
+          ``tombstone_fraction`` of live rows AND the caller supplies the
+          safe ``tombstone_watermark`` (stream checkpoint low-water mark);
+        * re-clustering — buckets whose per-file zone maps show the sort
+          order has decayed: a file larger than 2× ``target_file_rows``,
+          or ≥ ``overlap_threshold`` of file pairs in a bucket with
+          overlapping sort-column ranges (fresh clustered files are
+          disjoint by construction, so overlap = interleaving = lost
+          pruning power);
+        * snapshot expiry (tag-pinned snapshots survive) and lineage /
+          export sidecar compaction.
+
+        Returns a report of what ran and why. Reference analog: the
+        scheduled cleanup job, /root/reference/internal/jobs/
+        server.go:690-727, generalized to layout health."""
+        report: dict = {
+            "tombstones_expired": None,
+            "clustered_buckets": [],
+            "cluster_reason": None,
+        }
+        m = self.manifest()
+        if m is None:
+            return report
+        self._sync_layout(m)
+
+        bm = m.get("bucket_meta", {})
+        fm = m.get("file_meta", {})
+        total_rows = sum(f["rows"] for f in fm.values())
+        total_tombs = sum(x.get("n_tombstones", 0) for x in bm.values())
+        report["tombstone_fraction"] = (
+            round(total_tombs / total_rows, 4) if total_rows else 0.0
+        )
+        if (
+            tombstone_watermark is not None
+            and total_rows
+            and total_tombs / total_rows >= tombstone_fraction
+        ):
+            report["tombstones_expired"] = self.expire_tombstones(
+                tombstone_watermark
+            )
+            m = self.manifest()
+            fm = m.get("file_meta", {})
+
+        sort_by = tuple(cluster_sort or self.write_sort)
+        scol = sort_by[0] if sort_by else None
+        if scol is not None:
+            need, reasons = [], set()
+            for b, paths in m["files"].items():
+                stats = [
+                    fm[p] for p in paths if p in fm and scol in fm[p]["cols"]
+                ]
+                if self.target_file_rows and any(
+                    s["rows"] > 2 * self.target_file_rows for s in stats
+                ):
+                    need.append(int(b))
+                    reasons.add("oversize-file")
+                    continue
+                rngs = [
+                    s["cols"][scol]
+                    for s in stats
+                    if s["cols"][scol][0] is not None
+                ]
+                if len(rngs) >= 2:
+                    pairs = overl = 0
+                    for i in range(len(rngs)):
+                        for j in range(i + 1, len(rngs)):
+                            pairs += 1
+                            (alo, ahi), (blo, bhi) = rngs[i], rngs[j]
+                            if not (
+                                (ahi is not None and blo is not None and ahi < blo)
+                                or (bhi is not None and alo is not None and bhi < alo)
+                            ):
+                                overl += 1
+                    if pairs and overl / pairs >= overlap_threshold:
+                        need.append(int(b))
+                        reasons.add("zone-overlap")
+            if need:
+                self.cluster(
+                    list(sort_by),
+                    target_file_rows=self.target_file_rows,
+                    buckets=sorted(need),
+                )
+                report["clustered_buckets"] = sorted(need)
+                report["cluster_reason"] = ",".join(sorted(reasons))
+
+        self.expire_snapshots(keep=keep_snapshots)
+        report["snapshots"] = len(self.snapshots())
+        report["lineage_compact"] = self.compact_lineage(sidecar_max_files)
+        report["exports_compact"] = self.compact_exports(sidecar_max_files)
+        return report
 
     def expire_snapshots(self, keep: int = 3):
         """Drop manifests (and data files unreachable from the kept set) —
