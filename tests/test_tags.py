@@ -97,6 +97,47 @@ def test_tagged_snapshot_survives_expiry_until_dropped(spark, tmp_path):
     assert on_disk <= live
 
 
+def test_snapshot_as_of_time_travel(spark, tmp_path, capsys, monkeypatch):
+    import datetime as dt
+    import time
+
+    table = ManifestTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    _apply(spark, table, _rows(range(1, 4)), 0)
+    s1 = table.current_snapshot_id()
+    t_mid = time.time() * 1000
+    time.sleep(0.05)
+    _apply(spark, table, _rows(range(11, 16)), 1)
+    s2 = table.current_snapshot_id()
+
+    assert table.snapshot_as_of(int(t_mid)) == s1
+    assert table.snapshot_as_of(time.time() * 1000) == s2
+    assert table.read(table.snapshot_as_of(int(t_mid))).count() == 3
+    # datetime + ISO string forms (UTC)
+    mid_dt = dt.datetime.fromtimestamp(t_mid / 1000, dt.timezone.utc)
+    assert table.snapshot_as_of(mid_dt) == s1
+    assert table.snapshot_as_of(mid_dt.isoformat()) == s1
+    # before the first commit -> None
+    assert table.snapshot_as_of(0) is None
+
+    # CLI: scan --as-of
+    import json
+
+    from vuln_datasync_spark import cli
+
+    monkeypatch.setattr(cli, "_spark", lambda args: spark)
+    assert (
+        cli.main(
+            ["scan", "--table", str(tmp_path / "t"),
+             "--as-of", mid_dt.isoformat()]
+        )
+        == 0
+    )
+    rows = [
+        json.loads(x) for x in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert len(rows) == 3
+
+
 def test_cli_tag(spark, tmp_path, capsys, monkeypatch):
     from vuln_datasync_spark import cli
 

@@ -383,7 +383,12 @@ def cmd_scan(args) -> int:
             )
         )
         return 0
-    df = table.read(snapshot_id=args.snapshot, range_filters=rf or None)
+    snap = args.snapshot
+    if args.as_of:
+        snap = table.snapshot_as_of(args.as_of)
+        if snap is None:
+            raise SystemExit(f"no snapshot at or before {args.as_of!r}")
+    df = table.read(snapshot_id=snap, range_filters=rf or None)
     if args.limit:
         df = df.limit(args.limit)
     for line in df.toJSON().toLocalIterator():
@@ -673,6 +678,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="inclusive range; leave a side empty for unbounded",
     )
     sc.add_argument("--snapshot")
+    sc.add_argument("--as-of", help="time travel: ISO timestamp (UTC)")
     sc.add_argument("--limit", type=int, default=0)
     sc.add_argument(
         "--report", action="store_true", help="print the prune decision only"

@@ -233,6 +233,29 @@ class ManifestTable:
         sid = tags.get(sid, sid)  # tag names resolve anywhere a sid goes
         return self._read_json(os.path.join(self.root, "_manifests", f"{sid}.json"))
 
+    def snapshot_as_of(self, ts) -> str | None:
+        """Latest snapshot committed at or before ``ts`` (time travel by
+        timestamp, Iceberg ``FOR SYSTEM_TIME AS OF`` analog). Snapshot
+        ids embed their commit epoch-millis, so this is a metadata walk —
+        no I/O beyond the manifest chain. ``ts``: datetime (naive = UTC),
+        ISO string, or epoch millis. Returns None if the table has no
+        snapshot that old."""
+        import datetime as _dt
+
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        if isinstance(ts, _dt.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
+            millis = int(ts.timestamp() * 1000)
+        else:
+            millis = int(ts)
+        best = None
+        for m in self.snapshots():  # oldest -> newest
+            if int(m["snapshot_id"].split("-", 1)[0]) <= millis:
+                best = m["snapshot_id"]
+        return best
+
     # ---------- refs (named snapshots) ----------
 
     def refs(self) -> dict:
