@@ -53,6 +53,8 @@ def cmd_replay(args) -> int:
         table = ManifestTable(spark, args.table)
     else:
         table = ManifestTable.create(spark, args.table, n_buckets=args.buckets)
+    if args.branch:
+        table = table.for_branch(args.branch)
     events = read_changelog_batch(
         spark, args.changelog, fmt=args.format, since_seq=args.since_seq
     )
@@ -437,6 +439,41 @@ def cmd_tag(args) -> int:
     return 0
 
 
+def cmd_branch(args) -> int:
+    """Movable refs (write-audit-publish): create, list, drop, publish."""
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    if args.list:
+        print(json.dumps(table.refs()["branches"]))
+    elif args.drop:
+        table.drop_branch(args.drop)
+        print(json.dumps({"dropped": args.drop}))
+    elif args.publish:
+        head = table.publish(args.publish)
+        print(json.dumps({"published": args.publish, "snapshot_id": head}))
+    else:
+        if not args.name:
+            raise SystemExit(
+                "branch wants a NAME (or --list / --drop NAME / --publish NAME)"
+            )
+        sid = table.create_branch(args.name, snapshot_id=args.snapshot)
+        print(json.dumps({"branch": args.name, "snapshot_id": sid}))
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    """Remove orphan data files left by crashed writers."""
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    out = table.remove_orphan_files(older_than_seconds=args.older_than)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_delete_where(args) -> int:
     """Predicate delete routed through MERGE as tombstone events (the
     takedown path — change feed and index syncs observe it like CDC)."""
@@ -526,6 +563,9 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--batch-id", type=int, default=0)
     r.add_argument("--lww-mode", default="auto",
                    choices=["auto", "ordkey", "window", "salted", "maxby"])
+    r.add_argument(
+        "--branch", help="commit to this branch ref instead of main (WAP)"
+    )
     r.set_defaults(fn=cmd_replay)
 
     s = sub.add_parser("stream", help="tail the changelog (exactly-once)")
@@ -702,6 +742,29 @@ def build_parser() -> argparse.ArgumentParser:
     tg.add_argument("--list", action="store_true")
     tg.add_argument("--drop", metavar="NAME")
     tg.set_defaults(fn=cmd_tag)
+
+    br = sub.add_parser(
+        "branch", help="movable refs (write-audit-publish staging)"
+    )
+    br.add_argument("--table", required=True)
+    br.add_argument("name", nargs="?", help="branch name to create")
+    br.add_argument("--snapshot", help="fork point (default: current)")
+    br.add_argument("--list", action="store_true")
+    br.add_argument("--drop", metavar="NAME")
+    br.add_argument(
+        "--publish", metavar="NAME", help="fast-forward main to NAME's head"
+    )
+    br.set_defaults(fn=cmd_branch)
+
+    vc = sub.add_parser("vacuum", help="delete orphan data files")
+    vc.add_argument("--table", required=True)
+    vc.add_argument(
+        "--older-than",
+        type=float,
+        default=3600,
+        help="grace period seconds (never touch younger files)",
+    )
+    vc.set_defaults(fn=cmd_vacuum)
 
     dw = sub.add_parser(
         "delete-where", help="predicate delete as CDC tombstones"

@@ -128,6 +128,32 @@ def summary_truncate(details: Column | str, max_len: int = 100) -> Column:
 LWW_ORDER_COLS = ("commit_seq", "commit", "op")
 
 
+def _reject_reason() -> Column:
+    """Null for a valid event, else a reason slug. The single source of
+    truth for event validity: ``normalize_events`` keeps the null-reason
+    rows, ``reject_events`` keeps the rest (dead-letter queue)."""
+    return (
+        F.when(
+            F.col("repo").isNull() | (F.col("repo") == ""), "missing_repo"
+        )
+        .when(F.col("path").isNull() | (F.col("path") == ""), "missing_path")
+        .when(~F.coalesce(
+            F.col("op").isin("insert", "update", "delete"), F.lit(False)
+        ), "bad_op")
+        .when(F.col("commit_seq").isNull(), "missing_commit_seq")
+    )
+
+
+def reject_events(events: DataFrame) -> DataFrame:
+    """The rows ``normalize_events`` drops, each with a ``reject_reason``
+    column — route to a dead-letter sink instead of losing them silently
+    (reference analog: per-record validation skip + stats accounting,
+    /root/reference/internal/handlers/gitlab/fetcher.go:291-311)."""
+    return events.withColumn("reject_reason", _reject_reason()).filter(
+        F.col("reject_reason").isNotNull()
+    )
+
+
 def normalize_events(events: DataFrame) -> DataFrame:
     """Canonicalize a raw change-event batch:
 
@@ -136,14 +162,7 @@ def normalize_events(events: DataFrame) -> DataFrame:
     * validate required fields (drop events missing key/op — reference
       analog: required-field filters, osv/fetcher.go:539-541).
     """
-    ev = events.filter(
-        F.col("repo").isNotNull()
-        & (F.col("repo") != "")
-        & F.col("path").isNotNull()
-        & (F.col("path") != "")
-        & F.col("op").isin("insert", "update", "delete")
-        & F.col("commit_seq").isNotNull()
-    )
+    ev = events.filter(_reject_reason().isNull())
     # lang resolution ladder: existing value -> JVM-side extension map ->
     # pandas-UDF content sniff. The UDF's input columns are NULLED OUT
     # JVM-side for rows already resolved, so Arrow ships ~nothing to Python

@@ -141,3 +141,69 @@ def lww_resolve(
     return won.select(
         *key_cols, *[F.col(f"_w._p.{c}").alias(c) for c in payload_cols]
     )
+
+
+def lww_resolve_partial(
+    events: DataFrame, key_cols: tuple[str, ...] = KEY_COLS
+) -> DataFrame:
+    """Per-key LWW where null payload columns mean "unchanged": the winner
+    row (max order) takes each payload column from the LATEST non-null
+    value in order (Debezium-style sparse/partial update events; reference
+    analog: field-wise coalesce merge, internal/merger logic restated at
+    `operators/merge.py coalesce_fields`).
+
+    Semantics per key, events ordered by (commit_seq, commit, op):
+
+    * order columns + ``is_deleted`` always come from the winning event;
+    * every other column c = last non-null c among NON-deleted events
+      (tombstoned versions never contribute payload — a revive after a
+      delete starts from the reviving event's own values);
+    * a winning tombstone keeps its own (nulled) payload — deletes stay
+      deletes;
+    * ``content_sha256`` is recomputed from the final ``content`` so the
+      per-row invariant sha256(content) holds on the MERGED row, not the
+      sparse event.
+
+    One shuffle (both window specs share the partitioning); per-key state
+    is the window frame — in the merge path the union has <= 2 rows per
+    key (stored winner + batch winner), so the sort is constant-size."""
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import content_sha256
+
+    fill_cols = [
+        c
+        for c in events.columns
+        if c not in (*key_cols, *LWW_ORDER_COLS, "is_deleted")
+    ]
+    w_rank = W.partitionBy(*key_cols).orderBy(
+        *[F.desc(c) for c in LWW_ORDER_COLS]
+    )
+    w_fill = (
+        W.partitionBy(*key_cols)
+        .orderBy(*[F.asc(c) for c in LWW_ORDER_COLS])
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    dead = F.lit(False)
+    if "is_deleted" in events.columns:
+        dead = dead | F.coalesce(F.col("is_deleted"), F.lit(False))
+    if "op" in events.columns:
+        dead = dead | (F.coalesce(F.col("op"), F.lit("")) == "delete")
+    alive = ~dead
+    df = events
+    for c in fill_cols:
+        df = df.withColumn(
+            f"_f_{c}",
+            F.last(F.when(alive, F.col(c)), ignorenulls=True).over(w_fill),
+        )
+    df = df.withColumn("_rn", F.row_number().over(w_rank)).filter(
+        F.col("_rn") == 1
+    )
+    for c in fill_cols:
+        df = df.withColumn(
+            c, F.when(alive, F.col(f"_f_{c}")).otherwise(F.col(c))
+        ).drop(f"_f_{c}")
+    df = df.drop("_rn")
+    if "content_sha256" in df.columns and "content" in df.columns:
+        df = df.withColumn("content_sha256", content_sha256(F.col("content")))
+    return df

@@ -135,6 +135,9 @@ class ManifestTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # None = commits move the main ``_current`` pointer; a branch name
+        # (set via for_branch) = commits move that branch ref instead
+        self.branch: str | None = None
         meta = self._read_json(os.path.join(root, "_table.json"))
         if meta is None:
             raise FileNotFoundError(f"no ManifestTable at {root} (use .create)")
@@ -219,6 +222,8 @@ class ManifestTable:
             return None
 
     def current_snapshot_id(self) -> str | None:
+        if self.branch is not None:
+            return self.refs()["branches"].get(self.branch)
         try:
             with open(os.path.join(self.root, "_current")) as f:
                 return f.read().strip() or None
@@ -229,8 +234,10 @@ class ManifestTable:
         sid = snapshot_id or self.current_snapshot_id()
         if sid is None:
             return None
-        tags = self.refs()["tags"]
-        sid = tags.get(sid, sid)  # tag names resolve anywhere a sid goes
+        refs = self.refs()
+        # tag / branch names resolve anywhere a sid goes (tags win on a
+        # name collision — they are immutable, so the resolution is stable)
+        sid = refs["tags"].get(sid) or refs["branches"].get(sid) or sid
         return self._read_json(os.path.join(self.root, "_manifests", f"{sid}.json"))
 
     def snapshot_as_of(self, ts) -> str | None:
@@ -260,7 +267,10 @@ class ManifestTable:
 
     def refs(self) -> dict:
         r = self._read_json(os.path.join(self.root, "_refs.json"))
-        return r if r else {"tags": {}}
+        r = r if r else {"tags": {}}
+        r.setdefault("tags", {})
+        r.setdefault("branches", {})
+        return r
 
     def _write_refs(self, refs: dict) -> None:
         p = os.path.join(self.root, "_refs.json")
@@ -294,6 +304,95 @@ class ManifestTable:
         if name in refs["tags"]:
             del refs["tags"][name]
             self._write_refs(refs)
+
+    # ---------- branches (movable refs / write-audit-publish) ----------
+
+    def create_branch(self, name: str, snapshot_id: str | None = None) -> str | None:
+        """Create a movable ref (Iceberg branch analog) rooted at
+        ``snapshot_id`` (default: main's current snapshot; may be None on
+        an empty table — the branch then starts from scratch). Commits via
+        ``for_branch(name)`` advance the branch head; main's ``_current``
+        never moves until ``publish``. This is the WAP (write-audit-
+        publish) pattern: stage a risky ingest on a branch, audit it with
+        ordinary reads (``read(name)``), then fast-forward main — pure
+        metadata, no data movement at any scale."""
+        refs = self.refs()
+        if name in refs["branches"]:
+            raise ValueError(f"branch {name!r} already exists")
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        if sid is not None:
+            sid = refs["tags"].get(sid, sid)
+            if self._read_json(
+                os.path.join(self.root, "_manifests", f"{sid}.json")
+            ) is None:
+                raise ValueError(f"unknown snapshot {sid!r}")
+        refs["branches"][name] = sid
+        self._write_refs(refs)
+        return sid
+
+    def drop_branch(self, name: str) -> None:
+        refs = self.refs()
+        if name in refs["branches"]:
+            del refs["branches"][name]
+            self._write_refs(refs)
+
+    def for_branch(self, name: str) -> "ManifestTable":
+        """A handle whose reads and commits target branch ``name`` (its
+        head must exist in ``refs()``). The returned handle shares the
+        session; only the commit pointer differs — merge/apply_batch/
+        delete_where/maintain all work unchanged on it."""
+        import copy
+
+        if name not in self.refs()["branches"]:
+            raise ValueError(f"unknown branch {name!r} (create_branch first)")
+        h = copy.copy(self)
+        h.branch = name
+        h._sync_layout(h.manifest())
+        return h
+
+    def publish(self, name: str) -> str:
+        """Fast-forward main to branch ``name``'s head (Iceberg
+        ``fast_forward`` / WAP publish). Requires main's current snapshot
+        to be an ancestor of (or equal to) the branch head — i.e. nothing
+        was committed to main since the branch forked; otherwise raises
+        CommitConflict (rebase by re-branching from the new main and
+        replaying, exactly-once keys make the replay safe). Atomic pointer
+        swap; the branch ref survives (drop it separately)."""
+        head = self.refs()["branches"].get(name)
+        if head is None:
+            raise ValueError(f"branch {name!r} missing or empty")
+        cur = None
+        try:
+            with open(os.path.join(self.root, "_current")) as f:
+                cur = f.read().strip() or None
+        except FileNotFoundError:
+            pass
+        if cur is not None:
+            # ancestor walk over the branch head's parent chain
+            m = self._read_json(
+                os.path.join(self.root, "_manifests", f"{head}.json")
+            )
+            chain = set()
+            while m is not None:
+                chain.add(m["snapshot_id"])
+                p = m.get("parent")
+                m = (
+                    self._read_json(
+                        os.path.join(self.root, "_manifests", f"{p}.json")
+                    )
+                    if p
+                    else None
+                )
+            if cur not in chain:
+                raise CommitConflict(
+                    f"main advanced past branch {name!r}'s fork point "
+                    f"(current {cur} not an ancestor of head {head})"
+                )
+        curp = os.path.join(self.root, "_current")
+        with open(curp + ".tmp", "w") as f:
+            f.write(head)
+        os.replace(curp + ".tmp", curp)
+        return head
 
     def snapshots(self) -> list[dict]:
         out = []
@@ -474,9 +573,19 @@ class ManifestTable:
             r["b"]
             for r in keys_df.select(bexpr.alias("b")).distinct().collect()
         )
-        return self.read(snapshot_id, buckets=buckets).join(
-            F.broadcast(keys_df), on=list(self.key_cols), how="leftsemi"
-        )
+        # zone-map file pruning WITHIN the kept buckets: the key columns
+        # carry per-file min/max stats, so a point lookup also skips every
+        # file of a bucket whose key range can't contain the probed keys
+        # (clustered layouts split buckets into many files — the probe
+        # then opens ~1 file per key, not the whole bucket)
+        rf = {}
+        for i, c in enumerate(self.key_cols):
+            vals = [r[i] for r in rows]
+            if all(v is not None for v in vals):
+                rf[c] = (min(vals), max(vals))
+        return self.read(
+            snapshot_id, buckets=buckets, range_filters=rf or None
+        ).join(F.broadcast(keys_df), on=list(self.key_cols), how="leftsemi")
 
     def rollback(self, snapshot_id: str) -> str:
         """Restore the table to a prior snapshot by committing a NEW
@@ -493,7 +602,12 @@ class ManifestTable:
         The bucket layout (modulus) also reverts if a ``rebucket``
         happened in between; the next merge's ``_sync_layout`` picks it
         up. Returns the new snapshot id."""
-        snapshot_id = self.refs()["tags"].get(snapshot_id, snapshot_id)
+        r = self.refs()
+        snapshot_id = (
+            r["tags"].get(snapshot_id)
+            or r["branches"].get(snapshot_id)
+            or snapshot_id
+        )
         target = self.manifest(snapshot_id)
         if target is None:
             raise ValueError(f"unknown snapshot {snapshot_id!r}")
@@ -684,6 +798,7 @@ class ManifestTable:
         batch_id: int = 0,
         seq_range=None,
         max_commit_retries: int = 3,
+        partial_update: bool = False,
     ) -> dict | None:
         """MERGE one-winner-per-key batch into the table.
 
@@ -703,7 +818,12 @@ class ManifestTable:
         each attempt, so two writers racing the same (checkpoint, batch)
         stay exactly-once: the loser observes the winner's epoch and
         returns None. Work per retry ∝ touched buckets (the batch is
-        cached; only the target read + write redo)."""
+        cached; only the target read + write redo).
+
+        ``partial_update``: null payload columns in incoming events mean
+        "unchanged" — the matched row keeps its stored value for them
+        (Debezium-style sparse updates; see ``lww_resolve_partial``).
+        ``content_sha256`` is recomputed on the merged row."""
         parent = self.current_snapshot_id()
         parent_m = self.manifest(parent) if parent else None
         self._sync_layout(parent_m)
@@ -740,6 +860,7 @@ class ManifestTable:
                         seq_range,
                         checkpoint_id,
                         batch_id,
+                        partial_update=partial_update,
                     )
                 except CommitConflict:
                     if attempt >= max_commit_retries:
@@ -778,6 +899,7 @@ class ManifestTable:
         seq_range,
         checkpoint_id,
         batch_id,
+        partial_update: bool = False,
     ) -> dict | None:
         # per-bucket stats in ONE job (also yields affected-bucket list);
         # materializes the persisted batch as a side effect
@@ -824,9 +946,18 @@ class ManifestTable:
             # stored winner + one batch winner), so the per-key sort is
             # constant-size — single pass, no skew exposure, payload never
             # aggregates.
-            merged = lww_resolve(
-                target.unionByName(batch), mode="window", key_cols=self.key_cols
-            )
+            if partial_update:
+                from ..operators.lww import lww_resolve_partial
+
+                merged = lww_resolve_partial(
+                    target.unionByName(batch), key_cols=self.key_cols
+                )
+            else:
+                merged = lww_resolve(
+                    target.unionByName(batch),
+                    mode="window",
+                    key_cols=self.key_cols,
+                )
         merged = merged.withColumn("_bucket", self.bucket_expr())
 
         sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
@@ -1141,6 +1272,16 @@ class ManifestTable:
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f)
         os.replace(mpath + ".tmp", mpath)
+        if self.branch is not None:
+            # branch commit: move the branch ref, never `_current`
+            refs = self.refs()
+            if refs["branches"].get(self.branch) != expected_parent:
+                raise CommitConflict(
+                    f"concurrent commit on branch {self.branch!r}"
+                )
+            refs["branches"][self.branch] = sid
+            self._write_refs(refs)  # atomic (tmp + replace)
+            return
         cur = os.path.join(self.root, "_current")
         with open(cur + ".tmp", "w") as f:
             f.write(sid)
@@ -1752,9 +1893,13 @@ class ManifestTable:
         snaps = self.snapshots()
         chain_keep = snaps[-keep:] if keep else snaps
         keep_m = list(chain_keep)
-        # tagged snapshots are pinned: their manifest and data files
-        # survive expiry until the tag is dropped
-        for sid in set(self.refs()["tags"].values()):
+        # tagged snapshots and branch heads are pinned: their manifest and
+        # data files survive expiry until the tag/branch is dropped
+        r = self.refs()
+        pinned = set(r["tags"].values()) | {
+            h for h in r["branches"].values() if h
+        }
+        for sid in pinned:
             tm = self._read_json(
                 os.path.join(self.root, "_manifests", f"{sid}.json")
             )
@@ -1767,13 +1912,12 @@ class ManifestTable:
             for paths in m["files"].values():
                 live.update(paths)
         keep_ids = {m["snapshot_id"] for m in keep_m}
-        for m in snaps:
-            if m["snapshot_id"] not in keep_ids:
-                os.remove(
-                    os.path.join(
-                        self.root, "_manifests", f"{m['snapshot_id']}.json"
-                    )
-                )
+        # sweep EVERY manifest in the dir, not just the main chain:
+        # branch intermediates and crashed-commit orphan manifests go too
+        # (their files would otherwise dangle after the file sweep below)
+        for mp in glob.glob(os.path.join(self.root, "_manifests", "*.json")):
+            if os.path.basename(mp)[:-5] not in keep_ids:
+                os.remove(mp)
         # re-root the chain (the oldest kept CHAIN member, never a merely
         # tag-pinned manifest — a tag must not rewrite history linkage)
         if chain_keep:
@@ -1788,3 +1932,48 @@ class ManifestTable:
             rel = os.path.relpath(f_, self.root)
             if rel not in live:
                 os.remove(f_)
+
+    def remove_orphan_files(self, older_than_seconds: float = 3600) -> dict:
+        """Delete data files referenced by NO manifest (Iceberg
+        ``remove_orphan_files`` analog). Orphans come from crashed
+        writers: a merge that wrote its ``data/snap-*/`` files but died
+        before the pointer swap leaves the files (and possibly a manifest
+        never linked into any chain — ``expire_snapshots`` sweeps those).
+
+        ``older_than_seconds`` is the in-flight-writer grace period: a
+        file younger than this may belong to a commit still in progress
+        (written-then-commit ordering), so it is never touched. Pure
+        metadata + filesystem walk — no Spark job; at scale this is a
+        listing ∝ file count, parallelizable per bucket dir.
+
+        Returns ``{"removed": [rel...], "kept_recent": n}``."""
+        live: set[str] = set()
+        for mp in glob.glob(os.path.join(self.root, "_manifests", "*.json")):
+            m = self._read_json(mp)
+            if m:
+                for paths in m.get("files", {}).values():
+                    live.update(paths)
+        cutoff = time.time() - older_than_seconds
+        removed, kept_recent = [], 0
+        for f_ in glob.glob(
+            os.path.join(self.root, "data", "snap-*", "bucket=*", "*.parquet")
+        ):
+            rel = os.path.relpath(f_, self.root)
+            if rel in live:
+                continue
+            if os.path.getmtime(f_) > cutoff:
+                kept_recent += 1
+                continue
+            os.remove(f_)
+            removed.append(rel)
+        # drop now-empty snap dirs (pure hygiene; harmless if racing)
+        for d in glob.glob(os.path.join(self.root, "data", "snap-*")):
+            if not any(os.scandir(d)):
+                shutil.rmtree(d, ignore_errors=True)
+            else:
+                for bd in glob.glob(os.path.join(d, "bucket=*")):
+                    if not any(os.scandir(bd)):
+                        shutil.rmtree(bd, ignore_errors=True)
+                if not any(os.scandir(d)):
+                    shutil.rmtree(d, ignore_errors=True)
+        return {"removed": sorted(removed), "kept_recent": kept_recent}

@@ -23,8 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.observation import Observation
 
-from ..functions.normalize import normalize_events
-from ..operators.lww import lww_resolve
+from ..functions.normalize import normalize_events, reject_events
+from ..operators.lww import lww_resolve, lww_resolve_partial
 from ..sinks.manifest_table import ManifestTable
 
 logger = logging.getLogger("vuln_datasync_spark.streaming")
@@ -84,6 +84,8 @@ def apply_batch(
     lww_mode: str = "auto",
     n_salts: int = 16,
     broadcast_winners: bool | str = "auto",
+    partial_update: bool = False,
+    dlq_dir: str | None = None,
 ) -> dict | None:
     """Apply one changelog batch to the table; returns the lineage record.
 
@@ -95,7 +97,26 @@ def apply_batch(
     files, window otherwise — see ``_resolve_lww_mode``);
     ``broadcast_winners='auto'`` defers the ordkey semi-join's broadcast
     decision to AQE's runtime size measurement (see lww_resolve).
-    """
+
+    ``partial_update``: sparse CDC events — null payload columns mean
+    "unchanged" and coalesce against the stored row (and against earlier
+    events in the same batch); see ``lww_resolve_partial``.
+
+    ``dlq_dir``: dead-letter queue. Events failing validation (missing
+    key / bad op / missing commit_seq — the rows ``normalize_events``
+    silently drops) are written as parquet under
+    ``{dlq_dir}/{checkpoint_id}_{batch_id}/`` with a ``reject_reason``
+    column. The epoch-named dir is written with overwrite, so an
+    at-least-once replay of the batch rewrites the same rejects instead
+    of duplicating them — DLQ idempotence matches the sink's
+    exactly-once. Reference analog: per-record validation skip +
+    error accounting, /root/reference/internal/handlers/gitlab/
+    fetcher.go record-skip path."""
+    if dlq_dir is not None:
+        rejects = reject_events(events)
+        rejects.write.mode("overwrite").parquet(
+            os.path.join(dlq_dir, f"{checkpoint_id}_{batch_id}")
+        )
     lww_mode = _resolve_lww_mode(events, lww_mode)
     obs = Observation()
     ev = normalize_events(events).observe(
@@ -103,9 +124,15 @@ def apply_batch(
         F.min("commit_seq").alias("seq_start"),
         F.max("commit_seq").alias("seq_end"),
     )
-    winners = lww_resolve(
-        ev, mode=lww_mode, n_salts=n_salts, broadcast_winners=broadcast_winners
-    )
+    if partial_update:
+        winners = lww_resolve_partial(ev)
+    else:
+        winners = lww_resolve(
+            ev,
+            mode=lww_mode,
+            n_salts=n_salts,
+            broadcast_winners=broadcast_winners,
+        )
 
     def seq_range():
         try:
@@ -120,6 +147,7 @@ def apply_batch(
         checkpoint_id=checkpoint_id,
         batch_id=batch_id,
         seq_range=seq_range,
+        partial_update=partial_update,
     )
     return lineage
 
@@ -212,6 +240,8 @@ def run_stream(
     processing_time: str | None = None,
     await_termination: bool = True,
     graceful_stop: bool = False,
+    partial_update: bool = False,
+    dlq_dir: str | None = None,
 ):
     """Tail a changelog directory (file source stands in for the Iceberg/
     Kafka changelog; offsets live in the Structured Streaming checkpoint)
@@ -245,6 +275,8 @@ def run_stream(
             lww_mode=lww_mode,
             n_salts=n_salts,
             broadcast_winners=broadcast_winners,
+            partial_update=partial_update,
+            dlq_dir=dlq_dir,
         )
         if on_batch is not None:
             on_batch(batch_id, lineage)
