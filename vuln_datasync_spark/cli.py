@@ -463,6 +463,24 @@ def cmd_branch(args) -> int:
     return 0
 
 
+def cmd_alter(args) -> int:
+    """Metadata-only schema evolution: rename / drop a column."""
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    if args.rename:
+        old, new = args.rename
+        sid = table.rename_column(old, new)
+        print(json.dumps({"renamed": [old, new], "snapshot_id": sid}))
+    elif args.drop_col:
+        sid = table.drop_column(args.drop_col)
+        print(json.dumps({"dropped": args.drop_col, "snapshot_id": sid}))
+    else:
+        raise SystemExit("alter wants --rename OLD NEW or --drop-col NAME")
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     """Remove orphan data files left by crashed writers."""
     from .sinks.manifest_table import ManifestTable
@@ -765,6 +783,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="grace period seconds (never touch younger files)",
     )
     vc.set_defaults(fn=cmd_vacuum)
+
+    al = sub.add_parser(
+        "alter", help="metadata-only column rename / drop"
+    )
+    al.add_argument("--table", required=True)
+    al.add_argument("--rename", nargs=2, metavar=("OLD", "NEW"))
+    al.add_argument("--drop-col", metavar="NAME")
+    al.set_defaults(fn=cmd_alter)
 
     dw = sub.add_parser(
         "delete-where", help="predicate delete as CDC tombstones"

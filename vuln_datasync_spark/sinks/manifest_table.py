@@ -406,6 +406,184 @@ class ManifestTable:
         m = self.manifest()
         return T.StructType.fromJson(m["schema"]) if m else None
 
+    # ---------- schema evolution beyond add/widen: rename & drop ----------
+    #
+    # Iceberg handles rename/drop with field IDs; plain parquet has only
+    # names, so the manifest records a `schema_log` of (at_millis, op)
+    # entries and `read()` resolves each file's PHYSICAL column names from
+    # its write era (the snap-dir's embedded millis). Metadata-only: no
+    # data file is rewritten; old files stay readable through the mapping
+    # forever, and a column re-added after a drop never resurrects ghost
+    # values from pre-drop files. At 100 TB an ALTER is one JSON commit.
+
+    def _protected_cols(self):
+        return set(self.key_cols) | set(LWW_ORDER_COLS) | {
+            "is_deleted",
+            "content",
+            "content_sha256",
+        }
+
+    @staticmethod
+    def _file_era(rel_path: str) -> int:
+        m = re.search(r"snap-(\d{13})-", rel_path)
+        return int(m.group(1)) if m else 0
+
+    def _alter_commit(self, new_schema_json, log_entry, file_meta):
+        parent = self.current_snapshot_id()
+        parent_m = self.manifest(parent)
+        sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        lineage = {
+            "snapshot_id": sid,
+            "checkpoint_id": f"alter:{log_entry['op']}",
+            "batch_id": 0,
+            "seq_start": None,
+            "seq_end": None,
+            "rows_applied": 0,
+            "buckets": {},
+            "committed_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+        }
+        manifest = {
+            "snapshot_id": sid,
+            "n_buckets": self.n_buckets,
+            "parent": parent,
+            "epoch": f"alter:{sid}",
+            "applied_epochs": sorted(parent_m["applied_epochs"]),
+            "schema": new_schema_json,
+            "files": dict(parent_m["files"]),
+            "bucket_meta": dict(parent_m.get("bucket_meta", {})),
+            "file_meta": file_meta,
+            "schema_log": list(parent_m.get("schema_log", []))
+            + [{**log_entry, "at": int(sid.split("-", 1)[0])}],
+            "lineage": lineage,
+        }
+        self._commit(manifest, expected_parent=parent)
+        self._append_lineage(lineage)
+        return sid
+
+    def rename_column(self, old: str, new: str) -> str:
+        """ALTER TABLE RENAME COLUMN as a metadata-only commit. Existing
+        data files keep the old physical name; reads map them through the
+        schema log. Key / order / invariant columns are immutable."""
+        if old in self._protected_cols() or new in self._protected_cols():
+            raise ValueError(f"column {old!r} -> {new!r} is protected")
+        m = self.manifest()
+        if m is None:
+            raise ValueError("empty table")
+        schema = T.StructType.fromJson(m["schema"])
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        new_schema = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        # zone-map keys follow the rename (values are unchanged by it),
+        # so range_filters on the NEW name keep pruning old files
+        fm = {
+            rel: {
+                **meta,
+                "cols": {
+                    (new if c == old else c): v
+                    for c, v in meta.get("cols", {}).items()
+                },
+            }
+            for rel, meta in m.get("file_meta", {}).items()
+        }
+        return self._alter_commit(
+            new_schema.jsonValue(),
+            {"op": "rename", "from": old, "to": new},
+            fm,
+        )
+
+    def drop_column(self, name: str) -> str:
+        """ALTER TABLE DROP COLUMN, metadata-only. A later column-add with
+        the same name starts from null everywhere — pre-drop files never
+        leak their old values back (the Iceberg field-id guarantee,
+        enforced here via the schema log's era check)."""
+        if name in self._protected_cols():
+            raise ValueError(f"column {name!r} is protected")
+        m = self.manifest()
+        if m is None:
+            raise ValueError("empty table")
+        schema = T.StructType.fromJson(m["schema"])
+        if name not in [f.name for f in schema.fields]:
+            raise ValueError(f"no column {name!r}")
+        new_schema = T.StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        fm = {
+            rel: {
+                **meta,
+                "cols": {
+                    c: v
+                    for c, v in meta.get("cols", {}).items()
+                    if c != name
+                },
+            }
+            for rel, meta in m.get("file_meta", {}).items()
+        }
+        return self._alter_commit(
+            new_schema.jsonValue(), {"op": "drop", "col": name}, fm
+        )
+
+    def _read_with_schema_log(
+        self, files: list[str], schema: T.StructType, slog: list[dict]
+    ) -> DataFrame:
+        """Read files whose physical column names may predate renames/
+        drops: group by write era, derive each group's physical schema by
+        walking the log backwards, read, and align to the target schema.
+        Group count <= len(schema_log)+1 — each group is still a plain
+        pushdown-friendly parquet scan."""
+        from collections import defaultdict
+
+        root_abs = os.path.abspath(self.root)
+        groups: dict[tuple, list] = defaultdict(list)
+        for f_ in files:
+            era = self._file_era(os.path.relpath(f_, root_abs))
+            key = tuple(
+                i for i, e in enumerate(slog) if e["at"] > era
+            )
+            groups[key].append(f_)
+        parts = []
+        for key, fs in groups.items():
+            # target name -> ("phys", physical_name) | ("null",)
+            mapping = {f.name: ("phys", f.name) for f in schema.fields}
+            for i in sorted(key, reverse=True):  # newest alter first
+                e = slog[i]
+                if e["op"] == "rename":
+                    for t, v in mapping.items():
+                        if v[0] == "phys" and v[1] == e["to"]:
+                            mapping[t] = ("phys", e["from"])
+                else:  # drop: pre-drop physical values are ghosts
+                    for t, v in mapping.items():
+                        if v[0] == "phys" and v[1] == e["col"]:
+                            mapping[t] = ("null",)
+            phys = T.StructType(
+                [
+                    T.StructField(mapping[f.name][1], f.dataType, True)
+                    for f in schema.fields
+                    if mapping[f.name][0] == "phys"
+                ]
+            )
+            pdf = self.spark.read.schema(phys).parquet(*fs)
+            sel = [
+                F.col(mapping[f.name][1]).alias(f.name)
+                if mapping[f.name][0] == "phys"
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+            parts.append(pdf.select(*sel))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # ---------- expressions ----------
 
     def bucket_expr(self) -> F.Column:
@@ -509,7 +687,11 @@ class ManifestTable:
             )
             df = self.spark.createDataFrame([], empty_schema)
         else:
-            df = self.spark.read.schema(schema).parquet(*files)
+            slog = m.get("schema_log") or []
+            if slog:
+                df = self._read_with_schema_log(files, schema, slog)
+            else:
+                df = self.spark.read.schema(schema).parquet(*files)
         if not include_tombstones and "is_deleted" in df.columns:
             # coalesce: a null is_deleted (row merged in bypassing
             # normalize, e.g. direct merge() with a null op) must stay
@@ -637,6 +819,7 @@ class ManifestTable:
             "files": dict(target["files"]),
             "bucket_meta": dict(target.get("bucket_meta", {})),
             "file_meta": dict(target.get("file_meta", {})),
+            "schema_log": list(target.get("schema_log", [])),
             "lineage": lineage,
         }
         self._commit(manifest, expected_parent=parent)
@@ -717,12 +900,19 @@ class ManifestTable:
             if m is None:
                 df = self.spark.createDataFrame([], schema)
             else:
-                df = _conform(
-                    self.read(
-                        sid, include_tombstones=True, buckets=buckets
-                    ),
-                    schema,
-                )
+                # read BOTH sides through the TARGET's schema log so a
+                # rename between the snapshots is not reported as every
+                # row changing: the base side's files resolve their
+                # physical names by era, then align to the target schema
+                files = self._files_for(m, buckets)
+                slog = m_to.get("schema_log") or []
+                if not files:
+                    df = self.spark.createDataFrame([], schema)
+                elif slog:
+                    df = self._read_with_schema_log(files, schema, slog)
+                else:
+                    df = self.spark.read.schema(schema).parquet(*files)
+                df = _conform(df, schema)
             live = (
                 ~F.coalesce(F.col("is_deleted"), F.lit(False))
                 if "is_deleted" in df.columns
@@ -1267,6 +1457,15 @@ class ManifestTable:
     def _commit(self, manifest: dict, expected_parent: str | None):
         if self.current_snapshot_id() != expected_parent:
             raise CommitConflict("concurrent commit detected (parent moved)")
+        if "schema_log" not in manifest:
+            # every commit carries the column rename/drop history forward
+            # (rollback overrides this with the TARGET's log explicitly)
+            pm = (
+                self.manifest(manifest.get("parent"))
+                if manifest.get("parent")
+                else None
+            )
+            manifest["schema_log"] = pm.get("schema_log", []) if pm else []
         sid = manifest["snapshot_id"]
         mpath = os.path.join(self.root, "_manifests", f"{sid}.json")
         with open(mpath + ".tmp", "w") as f:
