@@ -162,6 +162,67 @@ def test_remove_orphan_files(spark, tmp_path):
     assert table.remove_orphan_files(older_than_seconds=3600)["removed"] == []
 
 
+def test_stream_into_branch_then_publish(spark, tmp_path):
+    import pandas as pd
+
+    from vuln_datasync_spark.streaming.pipeline import run_stream
+
+    log = tmp_path / "log"
+    log.mkdir()
+    pd.DataFrame(
+        {
+            "commit_seq": [1, 2, 3],
+            "op": ["insert"] * 3,
+            "repo": ["r0"] * 3,
+            "path": ["a.py", "b.py", "c.py"],
+            "commit": ["c1", "c2", "c3"],
+            "lang": ["py"] * 3,
+            "content": ["v1", "v2", "v3"],
+            "ts": pd.to_datetime(["2026-01-01"] * 3),
+            "size_bytes": [1, 2, 3],
+        }
+    ).to_parquet(log / "b0.parquet", coerce_timestamps="us")
+    troot = str(tmp_path / "t")
+    table = ManifestTable.create(spark, troot, n_buckets=2)
+    _apply(spark, table, _rows(range(100, 102)), 0)
+    schema = (
+        "commit_seq long, op string, repo string, path string, commit "
+        "string, lang string, content string, ts timestamp, size_bytes long"
+    )
+    run_stream(
+        spark,
+        str(log),
+        troot,
+        str(tmp_path / "ckpt"),
+        schema,
+        branch="staged",
+    )
+    assert table.read().count() == 2  # main untouched by the stream
+    assert table.read("staged").count() == 5
+    table.publish("staged")
+    assert table.read().count() == 5
+
+
+def test_expire_snapshots_older_than(spark, tmp_path):
+    import time
+
+    table = ManifestTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    _apply(spark, table, _rows(range(1, 3)), 0)
+    _apply(spark, table, _rows(range(11, 13)), 1)
+    time.sleep(0.05)
+    cut = time.time() * 1000
+    time.sleep(0.05)
+    _apply(spark, table, _rows(range(21, 23)), 2)
+    _apply(spark, table, _rows(range(31, 33)), 3)
+    # keep=1 + older_than=cut: the two pre-cut snapshots go, both
+    # post-cut snapshots stay even though keep alone would drop one
+    table.expire_snapshots(keep=1, older_than=int(cut))
+    kept = [m["snapshot_id"] for m in table.snapshots()]
+    assert len(kept) == 2
+    assert all(int(s.split("-", 1)[0]) > cut for s in kept)
+    assert table.read().count() == 8  # state intact
+
+
 def test_cli_branch_publish_vacuum(spark, tmp_path, capsys, monkeypatch):
     import json
 

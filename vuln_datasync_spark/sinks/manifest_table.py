@@ -240,13 +240,9 @@ class ManifestTable:
         sid = refs["tags"].get(sid) or refs["branches"].get(sid) or sid
         return self._read_json(os.path.join(self.root, "_manifests", f"{sid}.json"))
 
-    def snapshot_as_of(self, ts) -> str | None:
-        """Latest snapshot committed at or before ``ts`` (time travel by
-        timestamp, Iceberg ``FOR SYSTEM_TIME AS OF`` analog). Snapshot
-        ids embed their commit epoch-millis, so this is a metadata walk —
-        no I/O beyond the manifest chain. ``ts``: datetime (naive = UTC),
-        ISO string, or epoch millis. Returns None if the table has no
-        snapshot that old."""
+    @staticmethod
+    def _to_millis(ts) -> int:
+        """datetime (naive = UTC) / ISO string / epoch-millis -> millis."""
         import datetime as _dt
 
         if isinstance(ts, str):
@@ -254,9 +250,17 @@ class ManifestTable:
         if isinstance(ts, _dt.datetime):
             if ts.tzinfo is None:
                 ts = ts.replace(tzinfo=_dt.timezone.utc)
-            millis = int(ts.timestamp() * 1000)
-        else:
-            millis = int(ts)
+            return int(ts.timestamp() * 1000)
+        return int(ts)
+
+    def snapshot_as_of(self, ts) -> str | None:
+        """Latest snapshot committed at or before ``ts`` (time travel by
+        timestamp, Iceberg ``FOR SYSTEM_TIME AS OF`` analog). Snapshot
+        ids embed their commit epoch-millis, so this is a metadata walk —
+        no I/O beyond the manifest chain. ``ts``: datetime (naive = UTC),
+        ISO string, or epoch millis. Returns None if the table has no
+        snapshot that old."""
+        millis = self._to_millis(ts)
         best = None
         for m in self.snapshots():  # oldest -> newest
             if int(m["snapshot_id"].split("-", 1)[0]) <= millis:
@@ -2085,12 +2089,31 @@ class ManifestTable:
         report["exports_compact"] = self.compact_exports(sidecar_max_files)
         return report
 
-    def expire_snapshots(self, keep: int = 3):
+    def expire_snapshots(self, keep: int = 3, older_than=None):
         """Drop manifests (and data files unreachable from the kept set) —
         Iceberg expire_snapshots analog; reference analog: retention cleanup
-        /root/reference/internal/jobs/server.go:690-727."""
+        /root/reference/internal/jobs/server.go:690-727.
+
+        ``keep``: always retain at least the last N chain snapshots.
+        ``older_than`` (datetime / ISO string / epoch millis): additionally
+        retain every snapshot committed after that instant — the Iceberg
+        ``expire_snapshots(older_than=...)`` form; with both set, the kept
+        set is the union."""
         snaps = self.snapshots()
         chain_keep = snaps[-keep:] if keep else snaps
+        if older_than is not None:
+            cut = self._to_millis(older_than)
+            newer = [
+                m
+                for m in snaps
+                if int(m["snapshot_id"].split("-", 1)[0]) > cut
+            ]
+            seen = {m["snapshot_id"] for m in chain_keep}
+            chain_keep = [
+                m for m in snaps
+                if m["snapshot_id"] in seen
+                or m["snapshot_id"] in {x["snapshot_id"] for x in newer}
+            ]
         keep_m = list(chain_keep)
         # tagged snapshots and branch heads are pinned: their manifest and
         # data files survive expiry until the tag/branch is dropped
