@@ -369,6 +369,55 @@ def m2(spark, sf):
 
 
 @q(
+    "m3_partial_update_lww",
+    "M4-analog on the changelog sink: sparse CDC events "
+    "(operators/lww.py lww_resolve_partial; reference field-wise "
+    "coalesce internal/merger)",
+    """WITH s AS (
+         SELECT user_id, event_id,
+                CASE WHEN event_id % 3 <> 0 THEN value END AS v,
+                CASE WHEN event_id % 2 <> 0 THEN event_type END AS et
+         FROM events
+       ), f AS (
+         SELECT user_id, event_id,
+                last_value(v IGNORE NULLS) OVER w AS fv,
+                last_value(et IGNORE NULLS) OVER w AS fe,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY event_id DESC) AS rn
+         FROM s
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)
+       )
+       SELECT user_id, event_id AS last_event_id, fe AS last_type,
+              round(fv, 4) + 0.0 AS last_value
+       FROM f WHERE rn = 1 ORDER BY user_id""",
+    note="every 3rd value / 2nd type nulled = 'unchanged'; the merged row "
+    "coalesces each column to its last non-null by event order",
+)
+def m3p(spark, sf):
+    from ..operators.lww import lww_resolve_partial
+
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        F.col("event_id").alias("commit_seq"),
+        F.lit("").alias("commit"),
+        F.lit("update").alias("op"),
+        F.when(F.col("event_id") % 3 != 0, F.col("value")).alias("value"),
+        F.when(F.col("event_id") % 2 != 0, F.col("event_type")).alias(
+            "event_type"
+        ),
+    )
+    out = lww_resolve_partial(ev, key_cols=("user_id",))
+    return out.select(
+        "user_id",
+        F.col("commit_seq").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        (F.round("value", 4) + F.lit(0.0)).alias("last_value"),
+    ).orderBy("user_id")
+
+
+@q(
     "m6_deterministic_id",
     "M6 internal/utils/id_generator.go:64-78 (bit parity)",
     """SELECT doc_id,
@@ -3214,6 +3263,7 @@ _DRIVER_PRIORITY = [
     "prof_event_lateness",
     "samp_mix_domains",
     "tx_normalize_text",
+    "m3_partial_update_lww",
     # load-bearing keepers (driver-attested in r02+r03; stay in the window)
     "q1_tpch_pricing_summary",
     "j1_priority_dedup_join",
@@ -3227,7 +3277,8 @@ _DRIVER_PRIORITY = [
     "dd_ngram_jaccard",
     "sim_embedding_neardup",
     "st_windowed_stats",
-    "mm_extract_features",
+    # mm_extract_features dropped from the window this round (attested
+    # r02+r03) to keep the driver's 50-entry record on never-attested work
 ]
 
 
