@@ -390,11 +390,36 @@ def cmd_scan(args) -> int:
         snap = table.snapshot_as_of(args.as_of)
         if snap is None:
             raise SystemExit(f"no snapshot at or before {args.as_of!r}")
-    df = table.read(snapshot_id=snap, range_filters=rf or None)
+    eq = None
+    if getattr(args, "eq", None):
+        eq = {}
+        for spec in args.eq:
+            col, _, val = spec.partition("=")
+            if not _:
+                raise SystemExit(f"--eq expects COL=VALUE, got {spec!r}")
+            eq[col] = val
+    df = table.read(
+        snapshot_id=snap, range_filters=rf or None, eq_filters=eq
+    )
     if args.limit:
         df = df.limit(args.limit)
     for line in df.toJSON().toLocalIterator():
         print(line)
+    return 0
+
+
+def cmd_bloom(args) -> int:
+    """Build (delta-only) or compact the per-file Bloom sidecar."""
+    from .sinks.bloom import build_bloom, compact_bloom
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+    rep = build_bloom(table, cols, bits_per_key=args.bits_per_key)
+    if args.compact:
+        rep["compact"] = compact_bloom(table)
+    print(json.dumps(rep))
     return 0
 
 
@@ -741,7 +766,28 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument(
         "--report", action="store_true", help="print the prune decision only"
     )
+    sc.add_argument(
+        "--eq",
+        action="append",
+        default=[],
+        metavar="COL=VALUE",
+        help="equality probe (string compare): zone-map + Bloom-sidecar "
+        "file skipping when `bloom` has covered the files",
+    )
     sc.set_defaults(fn=cmd_scan)
+
+    bl = sub.add_parser(
+        "bloom",
+        help="build/compact the per-file Bloom sidecar for eq-probe "
+        "file skipping",
+    )
+    bl.add_argument("--table", required=True)
+    bl.add_argument(
+        "--cols", required=True, help="comma-separated string/int columns"
+    )
+    bl.add_argument("--bits-per-key", type=int, default=10)
+    bl.add_argument("--compact", action="store_true")
+    bl.set_defaults(fn=cmd_bloom)
 
     mn = sub.add_parser(
         "maintain", help="stat-driven maintenance pass (table doctor)"

@@ -655,6 +655,7 @@ class ManifestTable:
         include_tombstones: bool = False,
         buckets: list[int] | None = None,
         range_filters: dict | None = None,
+        eq_filters: dict | None = None,
     ) -> DataFrame:
         """Snapshot read. Missing columns in old files come back as null
         (explicit manifest schema -> parquet clipping = free column-add).
@@ -670,10 +671,25 @@ class ManifestTable:
         timestamp/date columns, strings for key columns. At 100 TB a
         time-scoped read (e.g. "commits since seq N") opens only the
         files whose zone overlaps — I/O ∝ matching data, not table size;
-        parquet row-group pruning then resumes inside each kept file."""
+        parquet row-group pruning then resumes inside each kept file.
+
+        ``eq_filters={col: value}`` adds equality predicates that prune
+        through BOTH stats layers: the zone maps (as a degenerate
+        [v, v] range) and, when :func:`sinks.bloom.build_bloom` has
+        covered the files, the per-file Bloom sidecar — the path that
+        skips files for high-cardinality probes (content hashes, alias
+        strings) whose per-file min/max spans everything. Files without
+        Bloom coverage are conservatively kept."""
         m = self.manifest(snapshot_id)
         schema = T.StructType.fromJson(m["schema"]) if m else None
         files = self._files_for(m, buckets) if m else []
+        if eq_filters:
+            range_filters = dict(range_filters or {})
+            for c, v in eq_filters.items():
+                # zone-map pruning as a point range (unless the caller
+                # already ranges this column)
+                if v is not None and c not in range_filters:
+                    range_filters[c] = (v, v)
         if m and range_filters:
             enc = self._enc_filters(range_filters)
             fm = m.get("file_meta", {})
@@ -685,6 +701,20 @@ class ManifestTable:
                     fm.get(os.path.relpath(f_, root_abs)), enc
                 )
             ]
+        if m and eq_filters and files:
+            from .bloom import bloom_excluded_rels
+
+            root_abs = os.path.abspath(self.root)
+            for c, v in eq_filters.items():
+                excl = bloom_excluded_rels(self, c, v)
+                if excl:
+                    files = [
+                        f_
+                        for f_ in files
+                        if os.path.relpath(f_, root_abs) not in excl
+                    ]
+                if not files:
+                    break
         if not files:
             empty_schema = schema or T.StructType(
                 [T.StructField(c, T.StringType()) for c in self.key_cols]
@@ -711,6 +741,11 @@ class ManifestTable:
                     df = df.filter(F.col(c) >= F.lit(lo))
                 if hi is not None:
                     df = df.filter(F.col(c) <= F.lit(hi))
+        if eq_filters:
+            for c, v in eq_filters.items():
+                df = df.filter(
+                    F.col(c).isNull() if v is None else F.col(c) == F.lit(v)
+                )
         return df
 
     def lookup(self, key_values, snapshot_id: str | None = None) -> DataFrame:
