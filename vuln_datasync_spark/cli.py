@@ -552,7 +552,16 @@ def cmd_cluster(args) -> int:
     spark = _spark(args)
     table = ManifestTable(spark, args.table)
     sid = table.cluster(
-        [c.strip() for c in args.by.split(",") if c.strip()],
+        sort_by=(
+            [c.strip() for c in args.by.split(",") if c.strip()]
+            if args.by
+            else None
+        ),
+        zorder=(
+            [c.strip() for c in args.zorder.split(",") if c.strip()]
+            if getattr(args, "zorder", None)
+            else None
+        ),
         target_file_rows=args.target_file_rows,
         buckets=(
             [int(b) for b in args.buckets.split(",")] if args.buckets else None
@@ -860,7 +869,13 @@ def build_parser() -> argparse.ArgumentParser:
         "cluster", help="sort-within-bucket rewrite for read locality"
     )
     cl.add_argument("--table", required=True)
-    cl.add_argument("--by", required=True, help="comma-separated sort columns")
+    g2 = cl.add_mutually_exclusive_group(required=True)
+    g2.add_argument("--by", help="comma-separated sort columns")
+    g2.add_argument(
+        "--zorder",
+        help="comma-separated columns for Morton bit-interleave "
+        "(multi-dimension zone-map pruning)",
+    )
     cl.add_argument("--target-file-rows", type=int)
     cl.add_argument("--buckets", help="comma-separated bucket subset")
     cl.set_defaults(fn=cmd_cluster)

@@ -1267,6 +1267,11 @@ class ManifestTable:
         sort_cols = [c for c in sort_by if c in df.columns]
         if sort_cols:
             out = out.sortWithinPartitions("_bucket", *sort_cols)
+            # helper sort keys (e.g. the z-order interleave) are not
+            # table columns; dropping is a projection, order-preserving
+            helpers = [c for c in sort_cols if c.startswith("_z")]
+            if helpers:
+                out = out.drop(*helpers)
         w = (
             out.withColumnRenamed("_bucket", "bucket")
             .write.partitionBy("bucket")
@@ -1950,9 +1955,11 @@ class ManifestTable:
 
     def cluster(
         self,
-        sort_by: list[str] | tuple[str, ...],
+        sort_by: list[str] | tuple[str, ...] | None = None,
         target_file_rows: int | None = None,
         buckets: list[int] | None = None,
+        zorder: list[str] | None = None,
+        zorder_bits: int = 16,
     ) -> str | None:
         """Maintenance rewrite: sort rows WITHIN each hash bucket by
         ``sort_by`` and split each bucket into ~``target_file_rows``-row
@@ -1968,7 +1975,16 @@ class ManifestTable:
         ``buckets`` limits the rewrite to a subset (incremental
         clustering during maintenance windows); untouched buckets carry
         forward by reference. At 100 TB: work ∝ rewritten buckets, one
-        shuffle (the repartition), sort is per-partition spillable."""
+        shuffle (the repartition), sort is per-partition spillable.
+
+        ``zorder=[c1, c2, ...]`` replaces the linear sort with a Morton
+        bit-interleave of the (min-max scaled) columns — multi-dimension
+        locality, so range probes on ANY of the z-ordered columns skip
+        files, not just the leading sort column (Delta OPTIMIZE ZORDER
+        analog; bounds come from the manifest's own zone maps, no extra
+        scan). Mutually exclusive with ``sort_by``."""
+        if (zorder is None) == (sort_by is None):
+            raise ValueError("cluster: pass exactly one of sort_by / zorder")
         m = self.manifest()
         if m is None:
             return None
@@ -1983,6 +1999,18 @@ class ManifestTable:
             return None
         full = self.read(include_tombstones=True, buckets=affected)
         full = full.withColumn("_bucket", self.bucket_expr())
+        if zorder is not None:
+            from .zorder import global_bounds, zorder_expr
+
+            schema = T.StructType.fromJson(m["schema"])
+            zexpr = zorder_expr(
+                list(zorder),
+                global_bounds(m, list(zorder)),
+                schema,
+                bits=zorder_bits,
+            )
+            full = full.withColumn("_zkey", zexpr)
+            sort_by = ("_zkey",)
         sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         snap_rel = os.path.join("data", f"snap-{sid}")
         snap_dir = os.path.join(self.root, snap_rel)
