@@ -590,6 +590,19 @@ def cmd_sync_agg(args) -> int:
     return 0
 
 
+def cmd_sync_scd2(args) -> int:
+    """Advance an SCD2 history dimension to the table's current
+    snapshot via the change feed (closed versions append-only)."""
+    from .pipelines.scd_sync import sync_scd2
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    rec = sync_scd2(table, args.state, consumer_id=args.consumer)
+    print(json.dumps(rec))
+    return 0
+
+
 def cmd_synth(args) -> int:
     from .datagen import generate_changelog_spark
 
@@ -889,6 +902,15 @@ def build_parser() -> argparse.ArgumentParser:
     sa.add_argument("--sum-col", default=None)
     sa.add_argument("--consumer", default="agg")
     sa.set_defaults(fn=cmd_sync_agg)
+
+    sd = sub.add_parser(
+        "sync-scd2",
+        help="advance an SCD2 history dimension via the change feed",
+    )
+    sd.add_argument("--table", required=True)
+    sd.add_argument("--state", required=True)
+    sd.add_argument("--consumer", default="scd2")
+    sd.set_defaults(fn=cmd_sync_scd2)
 
     g = sub.add_parser("synth", help="generate a synthetic changelog")
     g.add_argument("--events", type=int, default=100000)

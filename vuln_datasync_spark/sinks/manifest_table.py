@@ -2150,6 +2150,25 @@ class ManifestTable:
         report["snapshots"] = len(self.snapshots())
         report["lineage_compact"] = self.compact_lineage(sidecar_max_files)
         report["exports_compact"] = self.compact_exports(sidecar_max_files)
+        # Bloom sidecar upkeep: once a table has opted in (a sidecar
+        # exists), keep it current for the SAME columns — build the
+        # delta for files written since, and fold small parts
+        if os.path.isdir(os.path.join(self.root, "_blooms")):
+            from .bloom import _read_sidecar, build_bloom, compact_bloom
+
+            side = _read_sidecar(self)
+            if side is not None:
+                cur_cols = {f.name for f in (self.schema() or T.StructType())}
+                bcols = [
+                    r["col"]
+                    for r in side.select("col").distinct().collect()
+                    if r["col"] in cur_cols  # survive a later drop_column
+                ]
+                if bcols:
+                    report["bloom"] = build_bloom(self, sorted(bcols))
+                    report["bloom"]["compact"] = compact_bloom(
+                        self, max_files=16
+                    )
         return report
 
     def expire_snapshots(self, keep: int = 3, older_than=None):
