@@ -61,6 +61,9 @@ HEADLINE = [
     "tx_token_stats",
     "tx_lang_id",
     "mm_extract_features",
+    # round 4 additions
+    "ev_sessionize",
+    "cdc_scd2_history",
 ]
 
 
@@ -331,6 +334,38 @@ def bench_zone(spark, log_dir: str, n_events: int) -> dict:
     out["scan_pruned_sec"] = round(time.monotonic() - t0, 3)
     out["speedup"] = round(
         out["scan_full_sec"] / max(out["scan_pruned_sec"], 1e-9), 2
+    )
+
+    # Bloom sidecar: equality probes on the high-cardinality `commit`
+    # column, where zone maps can't prune (uniform hashes span every
+    # file's [min,max]). Probe cost for an ABSENT value should approach
+    # pure metadata: every covered file is excluded before any I/O.
+    from vuln_datasync_spark.sinks.bloom import (
+        bloom_excluded_rels,
+        build_bloom,
+    )
+
+    t0 = time.monotonic()
+    build_bloom(table, ["commit"])
+    out["bloom_build_sec"] = round(time.monotonic() - t0, 3)
+    absent = "0000000000000000000000000000000000000bad"
+    n_files = sum(len(p) for p in table.manifest()["files"].values())
+    out["bloom_files"] = n_files
+    out["bloom_excluded_absent"] = len(
+        bloom_excluded_rels(table, "commit", absent)
+    )
+    t0 = time.monotonic()
+    table.read().filter(F.col("commit") == absent).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["probe_full_sec"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    table.read(eq_filters={"commit": absent}).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["probe_bloom_sec"] = round(time.monotonic() - t0, 3)
+    out["probe_speedup"] = round(
+        out["probe_full_sec"] / max(out["probe_bloom_sec"], 1e-9), 2
     )
     shutil.rmtree(base, ignore_errors=True)
     return out

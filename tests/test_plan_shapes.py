@@ -75,3 +75,12 @@ def test_column_pruning_reaches_scan(spark):
     seg = plan[plan.index("ReadSchema"):].splitlines()[0]
     assert "doc_id" in seg and "text" in seg
     assert "lang" not in seg and "source" not in seg and "n_chars" not in seg
+
+
+def test_session_funnel_scd2_single_exchange(spark):
+    """sessionize/funnel/scd2 chain all their window expressions over
+    ONE partitioning: a second Exchange would mean the shared-window
+    construction regressed into per-step shuffles."""
+    for name in ("ev_sessionize", "ev_funnel", "cdc_scd2_history"):
+        plan = _plan(_BY_NAME[name].spark_fn(spark, SF))
+        assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
