@@ -83,3 +83,52 @@ def test_windowed_stats_batch_matches_manual(spark):
         (t(0), "insert"): (2, 5),
         (t(10), "delete"): (1, 0),
     }
+
+
+def test_session_stats_merges_fragments_across_batches(spark, tmp_path):
+    """Session windows: events of one key closer than the gap merge into
+    ONE session even when they arrive in different micro-batches; a key
+    quiet past the gap starts a new session; closed sessions emit once."""
+    from vuln_datasync_spark.streaming.windows import (
+        run_session_stats_stream,
+        session_change_stats,
+    )
+
+    log, out, ck = (str(tmp_path / d) for d in ("slog", "sout", "sck"))
+    t = lambda h, m: datetime(2024, 1, 1, h, m, 0)  # noqa: E731
+
+    def ev(seq, repo, ts):
+        return (seq, "insert", repo, f"p{seq}", f"c{seq}", "python", "x", ts, 1)
+
+    # batch 1: r1 session fragment (00:00, 00:10), r2 single event
+    _write(spark, [ev(1, "r1", t(0, 0)), ev(2, "r1", t(0, 10)),
+                   ev(3, "r2", t(0, 0))], log)
+    run_session_stats_stream(
+        spark, log, out, ck, changelog_schema(), "30 minutes", "10 minutes"
+    )
+    # batch 2: r1 continues at 00:30 (within gap of 00:10+30m -> SAME
+    # session), then a far event at 05:00 advances the watermark and
+    # closes everything open
+    _write(spark, [ev(4, "r1", t(0, 30)), ev(5, "r2", t(5, 0))], log)
+    run_session_stats_stream(
+        spark, log, out, ck, changelog_schema(), "30 minutes", "10 minutes"
+    )
+    rows = spark.read.parquet(out).collect()
+    got = {
+        (r["repo"], r["session_start"]): (r["n_events"], r["last_ts"])
+        for r in rows
+    }
+    # r1: ONE merged 3-event session despite arriving in two batches
+    assert got[("r1", t(0, 0))] == (3, t(0, 30))
+    # r2: its 00:00 single-event session closed
+    assert got[("r2", t(0, 0))] == (1, t(0, 0))
+    # no duplicate emissions
+    assert len(rows) == len(got)
+
+    # batch oracle: same expressions on a static frame
+    df = spark.createDataFrame(
+        [ev(1, "r1", t(0, 0)), ev(2, "r1", t(0, 10)), ev(4, "r1", t(0, 30))],
+        CHANGELOG_DDL,
+    )
+    b = session_change_stats(df, "30 minutes").collect()
+    assert len(b) == 1 and b[0]["n_events"] == 3

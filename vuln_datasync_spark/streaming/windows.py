@@ -56,6 +56,80 @@ def windowed_change_stats(
     )
 
 
+def session_change_stats(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "repo",
+) -> DataFrame:
+    """Per-key SESSION windows over the change stream (streaming
+    counterpart of ``operators.sessions.sessionize``): consecutive
+    events of a key closer than ``gap`` merge into one session;
+    Spark's native session_window state-merges fragments across
+    micro-batches, and the watermark closes sessions exactly once in
+    append mode.
+
+    State bound: #OPEN sessions (keys active within the lateness
+    bound) — independent of stream length; a key quiet past
+    watermark+gap holds no state. Works on a batch frame too (no
+    watermark) — the batch plan is the oracle for the streaming one.
+    """
+    src = stream
+    if stream.isStreaming:
+        src = stream.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"),
+            F.col(key_col),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col(key_col),
+            "n_events",
+            "first_ts",
+            "last_ts",
+        )
+    )
+
+
+def run_session_stats_stream(
+    spark,
+    changelog_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+):
+    """Tail the changelog into an append-mode per-key session-stats
+    sink: sessions emit exactly once, after the watermark passes their
+    (gap-extended) end; fragments split across micro-batches are merged
+    by the session-window state store before emission."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(changelog_dir)
+    q = (
+        session_change_stats(stream, gap, watermark)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_windowed_stats_stream(
     spark,
     changelog_dir: str,
