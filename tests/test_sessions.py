@@ -278,3 +278,25 @@ def test_sync_scd2_incremental_history(spark, tmp_path):
     rec3 = sync_scd2(table, root)
     assert rec3 is not None and rec3.get("replayed_noop") is True
     assert _history(spark, root) == h
+
+
+def test_retention_cohorts_triangle(spark):
+    from vuln_datasync_spark.operators.sessions import retention_cohorts
+
+    # periods of 100s; u1 first at p0, active p0+p2; u2 first at p2 only
+    df = _ev(
+        spark,
+        [
+            (1, 10, 1, "a"),
+            (1, 20, 2, "a"),    # same period as first -> offset 0
+            (1, 250, 3, "a"),   # period 2 -> offset 2
+            (2, 210, 4, "a"),   # cohort p2, offset 0
+        ],
+    )
+    got = {
+        (r["cohort_period"], r["period_n"]): r["n_keys"]
+        for r in retention_cohorts(df, "u", "ts", 100).collect()
+    }
+    base = dt.datetime(2024, 1, 1).timestamp()
+    p0 = int((base * 1_000_000) // 100_000_000)
+    assert got == {(p0, 0): 1, (p0, 2): 1, (p0 + 2, 0): 1}

@@ -180,6 +180,37 @@ def funnel_counts(
     ).orderBy("step_idx")
 
 
+def retention_cohorts(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    period_seconds: int = 3600,
+) -> DataFrame:
+    """Cohort retention: keys grouped by their first-seen period, then
+    per (cohort, periods-since-cohort) distinct-key activity counts —
+    the classic retention triangle over any keyed event stream.
+
+    Integer period indexes (``unix_micros div period``) keep the
+    bucketing bit-exact across engines. Two shuffles total, both on
+    ``key_col`` (the cohort agg and the join are co-partitioned;
+    Catalyst reuses the exchange), then one map-side-combined
+    count-distinct per (cohort, offset) — never a per-pair blowup.
+    """
+    pus = int(period_seconds) * 1_000_000
+    p = (_us(F.col(ts_col)) / F.lit(pus)).cast("long")  # floor: positive
+    e = events.select(F.col(key_col).alias("_k"), p.alias("_p"))
+    cohort = e.groupBy("_k").agg(F.min("_p").alias("_c"))
+    return (
+        e.join(cohort, on="_k")
+        .groupBy(
+            F.col("_c").alias("cohort_period"),
+            (F.col("_p") - F.col("_c")).alias("period_n"),
+        )
+        .agg(F.count_distinct("_k").alias("n_keys"))
+        .orderBy("cohort_period", "period_n")
+    )
+
+
 def scd2_from_changelog(
     changelog: DataFrame,
     key_cols: list[str],
