@@ -701,10 +701,19 @@ def a6(spark, sf):
        WHERE rn BETWEEN 101 AND 150 ORDER BY rn""",
 )
 def o2(spark, sf):
+    # Pagination at scale: never a global row_number over the table
+    # (that is a single-partition sort of everything). Take the top
+    # offset+limit rows distributed (TakeOrderedAndProject), then
+    # number the <=150-row result locally.
     o = _t(spark, sf, "orders")
+    top = (
+        o.select("o_orderkey", "o_orderdate")
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(150)
+    )
     w = W.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        top.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn").between(101, 150))
         .orderBy("rn")
         .select(
