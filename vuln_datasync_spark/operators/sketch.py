@@ -1,0 +1,233 @@
+"""Bounded-state sketch operators: deterministic distinct-count (KMV)
+and exact heavy hitters (Misra-Gries candidates + exact recount).
+
+Both implement the same 100 TB pattern the rest of the engine leans on:
+a per-partition pass with O(k) state (Arrow-batched ``mapInPandas``, so
+the Python side sees columnar batches, never rows) followed by a global
+phase whose input is ∝ partitions x k — NOT ∝ rows or ∝ distinct keys.
+A plain ``groupBy(key).count()`` shuffles one record per distinct key;
+when the key space is the row space (tokens, n-grams, URLs across a
+100 TB corpus) that shuffle is the job. These operators bound it.
+
+* kmv_distinct     — K-minimum-values distinct-count estimate per group.
+                     Hashes are md5-derived (deterministic, engine-
+                     portable: the SQL oracle reproduces the estimate
+                     bit-for-bit), per-partition state is the k smallest
+                     distinct hashes per group, the global merge ranks
+                     <= partitions*k candidate rows. Relative error
+                     ~ 1/sqrt(k-2). Exact (not estimated) whenever the
+                     true distinct count < k. Mergeable by construction:
+                     unioning candidate sets of two runs and re-ranking
+                     is the sketch union, so incremental maintenance
+                     from a CDC feed needs no rescan.
+                     Reference analog: the per-source distinct-vuln
+                     dashboards (sql/vulnerabilities.sql:105-126) that a
+                     full GROUP BY could not serve at log scale.
+* frequent_items   — EXACT frequent keys (count >= min_count) in two
+                     bounded passes: per-partition Misra-Gries summaries
+                     of ``capacity`` counters emit a candidate superset
+                     (guaranteed complete when min_count > N/(capacity+1)
+                     — the guard is enforced IN-PLAN via assert_true, so
+                     an under-provisioned capacity fails loudly instead
+                     of silently dropping keys), then a semi-join +
+                     exact recount of candidates only. Output is exact
+                     and deterministic even though the candidate sets
+                     are partitioning-dependent.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+# 15 hex chars of md5 -> 60-bit non-negative int; fits a BIGINT in every
+# engine and survives exact double conversion checks (2^60 scale factor
+# is a power of two, so (k-1)*SCALE is exact in IEEE double for k <= 2^6)
+_HEX_CHARS = 15
+_SCALE = float(16 ** _HEX_CHARS)  # 2^60
+
+
+def _h60(col) -> F.Column:
+    """md5-derived 60-bit hash, identical to the SQL idiom
+    CAST(concat('0x', substring(md5(v),1,15)) AS UBIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, _HEX_CHARS), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Distinct-count estimate of ``value_col`` per ``group_cols``.
+
+    Returns one row per group: group_cols + ``est_distinct`` (BIGINT).
+    Estimate = floor((k-1) * 2^60 / h_k) where h_k is the k-th smallest
+    distinct 60-bit hash; exact count when fewer than k distinct values
+    exist. NULL values are ignored (COUNT(DISTINCT ...) semantics).
+
+    Plan: hash JVM-side (md5 + conv, codegen), one Arrow mapInPandas
+    pass holding k smallest distinct hashes per group per partition,
+    then a global rank over <= partitions*k*groups candidate rows. The
+    only shuffle is the candidate frame — bytes ∝ k, never ∝ distinct.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    gc = list(group_cols)
+    hashed = df.select(
+        *gc, _h60(F.col(value_col).cast("string")).alias("_h")
+    ).filter(F.col("_h").isNotNull())
+
+    fields = [hashed.schema[c] for c in gc]
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in fields]
+        + ["_h long"]
+    )
+    kk = k
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        state: dict[tuple, "np.ndarray"] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for key, g in pdf.groupby(gc, dropna=False, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                hs = g["_h"].to_numpy(dtype="int64")
+                cur = state.get(key)
+                merged = np.unique(
+                    hs if cur is None else np.concatenate([cur, hs])
+                )
+                state[key] = merged[:kk]
+        if not state:
+            return
+        keys = list(state)
+        out = pd.DataFrame(
+            [k_ + (int(h),) for k_ in keys for h in state[k_]],
+            columns=gc + ["_h"],
+        )
+        yield out
+
+    cand = hashed.mapInPandas(gen, out_schema)
+    # global k smallest distinct hashes per group (candidate frame only)
+    distinct = cand.groupBy(*gc, "_h").agg(F.lit(1).alias("_one")).drop(
+        "_one"
+    )
+    w = W.partitionBy(*gc).orderBy("_h")
+    ranked = distinct.select(
+        *gc,
+        "_h",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(W.partitionBy(*gc)).alias("_nd"),
+    )
+    return (
+        ranked.filter(F.col("_rn") == F.least(F.col("_nd"), F.lit(kk)))
+        .select(
+            *gc,
+            F.when(F.col("_nd") < kk, F.col("_nd"))
+            .otherwise(
+                F.floor(
+                    F.lit(float(kk - 1) * _SCALE)
+                    / F.col("_h").cast("double")
+                )
+            )
+            .cast("long")
+            .alias("est_distinct"),
+        )
+    )
+
+
+def frequent_items(
+    df: DataFrame,
+    key_col: str,
+    min_count: int,
+    capacity: int = 4096,
+) -> DataFrame:
+    """EXACT keys with count >= ``min_count`` as (key, cnt).
+
+    Two passes over ``df``: (1) per-partition Misra-Gries summaries with
+    ``capacity`` counters emit a candidate superset plus the partition's
+    row count; (2) candidates are exactly recounted via a semi-join.
+    Completeness holds iff min_count > N/(capacity+1); the inequality is
+    checked IN the plan (assert_true over the phase-1 row totals), so an
+    undersized capacity aborts the job rather than silently truncating.
+
+    Shuffles: candidates (<= partitions*capacity rows) + the recount of
+    candidate-key rows only (map-side combined). Never ∝ distinct keys.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    keyed = df.select(F.col(key_col).cast("string").alias("_key")).filter(
+        F.col("_key").isNotNull()
+    )
+    cap = capacity
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: "pd.Series | None" = None
+        n_rows = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n_rows += len(pdf)
+            vc = pdf["_key"].value_counts()
+            counters = vc if counters is None else counters.add(
+                vc, fill_value=0
+            )
+            if len(counters) > cap:
+                # batched Misra-Gries: subtract the (cap+1)-th largest
+                # count from everyone, drop the non-positive. Each unit
+                # subtracted from a key is matched by >= cap other
+                # decrements, so total per-key error <= N_p/(cap+1).
+                thresh = counters.nlargest(cap + 1).iloc[-1]
+                counters = counters - thresh
+                counters = counters[counters > 0]
+        out = pd.DataFrame(
+            {
+                "_key": ([] if counters is None else list(counters.index))
+                + [None],
+                "_pn": ([0] * (0 if counters is None else len(counters)))
+                + [n_rows],
+            }
+        )
+        yield out
+
+    phase1 = keyed.mapInPandas(gen, "_key string, _pn long")
+    # in-plan completeness guard: min_count > N/(capacity+1)
+    total = phase1.agg(F.sum("_pn").alias("_n"))
+    guard = total.select(
+        F.assert_true(
+            F.lit(float(min_count)) * (cap + 1) > F.col("_n"),
+            F.concat(
+                F.lit(
+                    f"frequent_items: capacity {cap} cannot guarantee "
+                    f"completeness for min_count {min_count} at N="
+                ),
+                F.col("_n").cast("string"),
+                F.lit(f" (need capacity >= N/min_count)"),
+            ),
+        ).alias("_g")
+    )
+    cands = phase1.filter(F.col("_key").isNotNull()).select("_key").distinct()
+    counted = (
+        keyed.join(cands, "_key", "left_semi")
+        .groupBy("_key")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    # ride the guard along as an always-null crossed-in scalar; the
+    # filter keeps it un-prunable so assert_true always evaluates
+    return (
+        counted.crossJoin(F.broadcast(guard))
+        .filter(F.col("_g").isNull())
+        .select(F.col("_key").alias("key"), "cnt")
+    )
