@@ -585,6 +585,7 @@ def cmd_sync_agg(args) -> int:
         args.dims.split(","),
         consumer_id=args.consumer,
         sum_col=args.sum_col,
+        distinct_col=args.distinct_col,
     )
     print(json.dumps(rec or {"status": "current"}))
     return 0
@@ -900,6 +901,11 @@ def build_parser() -> argparse.ArgumentParser:
     sa.add_argument("--state", required=True)
     sa.add_argument("--dims", required=True, help="comma-separated columns")
     sa.add_argument("--sum-col", default=None)
+    sa.add_argument(
+        "--distinct-col", default=None,
+        help="maintain exact COUNT(DISTINCT col) via a retractable "
+        "support table",
+    )
     sa.add_argument("--consumer", default="agg")
     sa.set_defaults(fn=cmd_sync_agg)
 

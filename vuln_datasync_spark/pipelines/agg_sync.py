@@ -51,12 +51,25 @@ def sync_agg(
     dims: list[str],
     consumer_id: str = "agg",
     sum_col: str | None = None,
+    distinct_col: str | None = None,
 ) -> dict | None:
     """Advance the materialized per-``dims`` aggregate to the table's
     current snapshot. Returns the feed-advance record, or None when
     already current. Maintained measures: ``n`` (live row count) and,
     with ``sum_col``, ``sum_<col>`` — both additive, so the feed delta
-    is exact."""
+    is exact.
+
+    ``distinct_col`` additionally maintains an EXACT
+    ``distinct_<col>`` (COUNT(DISTINCT col) per dims, nulls ignored)
+    under the feed's insert/delete/update retractions. Distinct is not
+    additive, so it rides a *support table* — one (dims, value, cnt)
+    row per live distinct value, updated with the same +/- signs and
+    swept at cnt == 0 (the classic incremental-view-maintenance
+    construction; a KMV sketch would be O(k) but is not retractable —
+    a delete cannot resurrect an evicted hash). Support state is ∝
+    live distinct values, never ∝ rows; the per-sync update joins the
+    delta only. It lives under ``<version>/_sup`` — the underscore
+    prefix keeps parquet readers of the version dir blind to it."""
     spark = table.spark
     stats: dict = {}
 
@@ -76,36 +89,73 @@ def sync_agg(
                     f"sum_{sum_col}"
                 )
             )
+        dcol = f"distinct_{distinct_col}" if distinct_col else None
         delta = feed.groupBy(*dims).agg(*measures)
         if cur is None:
             merged = delta
         else:
             base = spark.read.parquet(os.path.join(state_root, cur["version"]))
             merged = (
-                base.unionByName(delta)
+                base.drop(dcol) if dcol else base
+            )
+            merged = (
+                merged.unionByName(delta)
                 .groupBy(*dims)
                 .agg(
                     *[
                         F.sum(c).alias(c)
-                        for c in base.columns
+                        for c in merged.columns
                         if c not in dims
                     ]
                 )
             )
         merged = merged.filter(F.col("n") != 0)
         version = f"v-{to}"
-        merged.write.mode("overwrite").parquet(
-            os.path.join(state_root, version)
-        )
+        vdir = os.path.join(state_root, version)
+        # a crashed previous attempt at the same target snapshot may have
+        # left a partial vdir (the pointer never moved to it) — clear it,
+        # then build the version dir additively: _sup first, agg files
+        # appended beside it (mode("overwrite") on vdir would delete _sup)
+        import shutil
+
+        shutil.rmtree(vdir, ignore_errors=True)
+        if distinct_col is not None:
+            sup_delta = (
+                feed.filter(F.col(distinct_col).isNotNull())
+                .groupBy(*dims, F.col(distinct_col).alias("_val"))
+                .agg(F.sum(sign).alias("_cnt"))
+            )
+            if cur is None:
+                sup = sup_delta
+            else:
+                sup_base = spark.read.parquet(
+                    os.path.join(state_root, cur["version"], "_sup")
+                )
+                sup = (
+                    sup_base.unionByName(sup_delta)
+                    .groupBy(*dims, "_val")
+                    .agg(F.sum("_cnt").alias("_cnt"))
+                )
+            sup = sup.filter(F.col("_cnt") != 0)
+            sup.write.mode("overwrite").parquet(os.path.join(vdir, "_sup"))
+            dc = (
+                spark.read.parquet(os.path.join(vdir, "_sup"))
+                .groupBy(*dims)
+                .agg(F.count("*").alias(dcol))
+            )
+            # left join: a group can be live (n > 0) with zero non-null
+            # distinct values
+            merged = merged.join(dc, dims, "left").withColumn(
+                dcol, F.coalesce(F.col(dcol), F.lit(0))
+            )
+        merged.write.mode("append").parquet(vdir)
         ptr = os.path.join(state_root, "_current")
         with open(ptr + ".tmp", "w") as f:
             json.dump({"version": version, "snapshot_id": to}, f)
         os.replace(ptr + ".tmp", ptr)
         # count from the just-written files: merged's plan still reads the
         # OLD version dir, which is about to be removed
-        stats["groups"] = spark.read.parquet(
-            os.path.join(state_root, version)
-        ).count()
+        stats["groups"] = spark.read.parquet(vdir).count()
         if cur is not None and cur["version"] != version:
             import shutil
 
