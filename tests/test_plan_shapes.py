@@ -84,3 +84,34 @@ def test_session_funnel_scd2_single_exchange(spark):
     for name in ("ev_sessionize", "ev_funnel", "cdc_scd2_history"):
         plan = _plan(_BY_NAME[name].spark_fn(spark, SF))
         assert plan.count("Exchange hashpartitioning") == 1, (name, plan)
+
+
+def test_interval_join_never_nested_loop(spark):
+    """The whole point of the bucketed rewrite: a hash join on the
+    bucket key, never BroadcastNestedLoop/Cartesian."""
+    plan = _plan(_BY_NAME["j9_interval_join"].spark_fn(spark, SF))
+    assert "BroadcastNestedLoop" not in plan
+    assert "Cartesian" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_kmv_candidate_shuffle_not_proportional_to_rows(spark):
+    """kmv_distinct's only wide edge is the candidate frame emitted by
+    mapInPandas: the exchange must sit ABOVE the Python stage (bytes
+    ∝ partitions*k), never below it on the raw hashed rows."""
+    plan = _plan(_BY_NAME["agg_kmv_distinct"].spark_fn(spark, SF))
+    # plan toString is physical-order: child plans print BELOW parents,
+    # so the mapInPandas line must appear after (deeper than) every
+    # Exchange line
+    lines = plan.splitlines()
+    py_depth = min(
+        i for i, l in enumerate(lines) if "MapInPandas" in l
+    )
+    for i, l in enumerate(lines):
+        if "Exchange" in l and "Reused" not in l:
+            assert i < py_depth, f"shuffle below mapInPandas:\n{plan}"
+
+
+def test_frequent_items_recount_is_semi_join(spark):
+    plan = _plan(_BY_NAME["agg_frequent_items"].spark_fn(spark, SF))
+    assert "LeftSemi" in plan, plan
