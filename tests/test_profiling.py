@@ -127,3 +127,66 @@ def test_duplicate_ngram_min_docs_threshold(spark):
         df, "text", "doc_id", ngram=4, min_docs=4
     ).collect()
     assert all(r["n_dup_grams"] == 0 for r in out4)
+
+
+def test_profile_columns_exact_and_nulls(spark):
+    from vuln_datasync_spark.operators.profiling import profile_columns
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("b", None), (None, 2)],
+        "s string, v long",
+    )
+    got = {r["col_name"]: r for r in
+           profile_columns(df, ["s", "v"], k=8).collect()}
+    s, v = got["s"], got["v"]
+    assert (s["n"], s["n_null"], s["min_val"], s["max_val"],
+            s["ndv_est"]) == (4, 1, "a", "b", 2)
+    assert (v["n"], v["n_null"], v["min_val"], v["max_val"],
+            v["ndv_est"]) == (4, 1, "1", "2", 2)
+
+
+def test_profile_columns_all_null_and_estimate(spark):
+    from vuln_datasync_spark.operators.profiling import profile_columns
+
+    import pytest
+
+    df = spark.range(2000).selectExpr(
+        "cast(id as string) AS wide", "cast(null as string) AS empty"
+    )
+    got = {r["col_name"]: r for r in
+           profile_columns(df, ["wide", "empty"], k=64).collect()}
+    assert got["empty"]["ndv_est"] == 0
+    assert got["empty"]["n_null"] == 2000
+    assert got["empty"]["min_val"] is None
+    # estimate branch: within KMV error bounds of the true 2000
+    assert abs(got["wide"]["ndv_est"] - 2000) / 2000 < 0.5
+    with pytest.raises(ValueError, match="non-empty"):
+        profile_columns(df, [])
+
+
+def test_cli_profile(spark, tmp_path, capsys, monkeypatch):
+    import json
+
+    from vuln_datasync_spark import cli
+    from vuln_datasync_spark.sinks.manifest_table import ManifestTable
+
+    from .test_change_feed import _batch
+
+    monkeypatch.setattr(cli, "_spark", lambda args: spark)
+    tbl = str(tmp_path / "t")
+    table = ManifestTable.create(spark, tbl, n_buckets=4)
+    _batch(
+        spark, table,
+        [
+            (1, "insert", "r1", "a.py", "c1", "python", "v1", None, 10),
+            (2, "insert", "r1", "b.py", "c2", "go", "v2", None, None),
+        ],
+        0,
+    )
+    assert cli.main(["profile", "--table", tbl, "--cols",
+                     "lang,size_bytes"]) == 0
+    rows = {r["col_name"]: r
+            for r in json.loads(capsys.readouterr().out.strip())}
+    assert rows["lang"]["ndv_est"] == 2 and rows["lang"]["n_null"] == 0
+    assert rows["size_bytes"]["n_null"] == 1
+    assert rows["size_bytes"]["min_val"] == "10"

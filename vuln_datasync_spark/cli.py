@@ -571,6 +571,25 @@ def cmd_cluster(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """ANALYZE-style per-column profile of the live table state: rows,
+    nulls, min/max, KMV ndv estimate. One scan; shuffles independent of
+    table size."""
+    from .operators.profiling import profile_columns
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    df = table.read(snapshot_id=args.snapshot)
+    cols = args.cols.split(",") if args.cols else [
+        f.name for f in df.schema.fields
+        if not f.name.startswith("_")
+    ]
+    rows = profile_columns(df, cols, k=args.k).orderBy("col_name").collect()
+    print(json.dumps([r.asDict() for r in rows], default=str))
+    return 0
+
+
 def cmd_sync_agg(args) -> int:
     """Advance a materialized per-dimension aggregate to the table's
     current snapshot via the preimage change feed (O(delta) per sync)."""
@@ -893,6 +912,16 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument("--target-file-rows", type=int)
     cl.add_argument("--buckets", help="comma-separated bucket subset")
     cl.set_defaults(fn=cmd_cluster)
+
+    pf = sub.add_parser(
+        "profile", help="per-column rows/nulls/min/max/ndv profile"
+    )
+    pf.add_argument("--table", required=True)
+    pf.add_argument("--cols", default=None, help="comma-separated; "
+                    "default: all non-internal columns")
+    pf.add_argument("--k", type=int, default=256)
+    pf.add_argument("--snapshot", default=None)
+    pf.set_defaults(fn=cmd_profile)
 
     sa = sub.add_parser(
         "sync-agg", help="advance a materialized aggregate via the feed"

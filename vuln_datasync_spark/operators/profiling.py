@@ -151,3 +151,49 @@ def event_lateness_profile(
         *qs,
         F.round(F.max("_late_us") / F.lit(1e6), 4).alias("max_late_s"),
     )
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str], k: int = 256
+) -> DataFrame:
+    """ANALYZE-style per-column profile: one row per column with ``n``
+    (rows), ``n_null``, lexicographic ``min_val``/``max_val`` (string
+    cast), and ``ndv_est`` — the KMV distinct estimate from
+    :func:`..sketch.kmv_distinct` (exact below ``k``, deterministic
+    md5-derived hashes so a SQL oracle reproduces it bit for bit).
+
+    Scale shape: the columns unpivot row-wise via ``stack`` (map-only,
+    width x rows values scanned but never materialized wide), then two
+    map-side-combined passes whose SHUFFLES are independent of row
+    count — the base agg moves <= partitions x len(cols) rows, the KMV
+    candidate frame <= partitions x len(cols) x k. Profiling a 100 TB
+    table costs one scan, not one shuffle of the table. All-null
+    columns report ndv_est 0. Reference analog: the dashboard stats
+    view (migrations/001_initial_schema.up.sql:132-144) generalized to
+    any column set.
+    """
+    from .sketch import kmv_distinct
+
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    pairs: list = []
+    for c in cols:
+        pairs += [F.lit(c), F.col(c).cast("string")]
+    u = df.select(F.stack(F.lit(len(cols)), *pairs).alias("col_name", "val"))
+    base = u.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count("val")).alias("n_null"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+    ndv = kmv_distinct(u, ["col_name"], "val", k=k).withColumnRenamed(
+        "est_distinct", "ndv_est"
+    )
+    return base.join(ndv, "col_name", "left").select(
+        "col_name",
+        "n",
+        "n_null",
+        "min_val",
+        "max_val",
+        F.coalesce("ndv_est", F.lit(0)).alias("ndv_est"),
+    )
