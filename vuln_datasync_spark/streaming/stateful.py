@@ -102,3 +102,79 @@ def repo_stats_stream(
             ),
         )
     )
+
+
+def _make_kmv_update_fn(k: int, idle_timeout_ms: int):
+    def update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        cur = (
+            np.array(state.get[0], dtype="int64")
+            if state.exists
+            else np.empty(0, dtype="int64")
+        )
+        for pdf in pdfs:
+            hs = pdf["_h"].to_numpy(dtype="int64")
+            cur = np.unique(np.concatenate([cur, hs]))[:k]
+        state.update(([int(h) for h in cur],))
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
+        est = len(cur) if len(cur) < k else int(
+            float(k - 1) * (2.0 ** 60) // float(cur[-1])
+        )
+        yield pd.DataFrame({"key": [key[0]], "est_distinct": [est]})
+
+    return update
+
+
+def kmv_distinct_stream(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: int = 64,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming distinct-count per key with O(k) state: the KMV sketch
+    of :mod:`..operators.sketch` carried across micro-batches via
+    ``applyInPandasWithState`` (update mode).
+
+    Hashing happens JVM-side BEFORE the stateful operator (the same
+    md5-derived 60-bit hash as batch ``kmv_distinct``), so the Python
+    side only merges sorted int arrays — no per-row Python on values.
+    Because the hash is deterministic and KMV union is order-free, the
+    final per-key estimate is IDENTICAL to running batch
+    ``kmv_distinct`` over the concatenation of every micro-batch —
+    however the stream was chopped (the e2e test asserts equality).
+    State per key is k int64s; ``idle_timeout_ms`` retires cold keys.
+    A streaming ``count(DISTINCT)`` is unexpressible in Spark; the
+    exact alternative (dropDuplicates + count) keeps state ∝ distinct
+    values, unbounded over a 10^10-event stream — this keeps it O(k).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.sketch import _h60
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    hashed = (
+        events.select(
+            F.col(key_col).alias("key"),
+            _h60(F.col(value_col).cast("string")).alias("_h"),
+        )
+        .filter(F.col("_h").isNotNull())
+    )
+    key_type = hashed.schema["key"].dataType.simpleString()
+    return hashed.groupBy("key").applyInPandasWithState(
+        _make_kmv_update_fn(int(k), int(idle_timeout_ms or 0)),
+        outputStructType=f"key {key_type}, est_distinct long",
+        stateStructType="hashes array<bigint>",
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
