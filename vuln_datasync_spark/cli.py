@@ -571,6 +571,24 @@ def cmd_cluster(args) -> int:
     return 0
 
 
+def cmd_compact_log(args) -> int:
+    """Kafka-style changelog compaction: one LWW reduce, output
+    proportional to live keys. See sources/changelog.compact_changelog."""
+    from .sources.changelog import compact_changelog
+
+    spark = _spark(args)
+    marker = compact_changelog(
+        spark,
+        args.changelog,
+        args.out,
+        upto_seq=args.upto_seq,
+        retain_tombstones=not args.drop_tombstones,
+        n_files=args.n_files,
+    )
+    print(json.dumps(marker))
+    return 0
+
+
 def cmd_profile(args) -> int:
     """ANALYZE-style per-column profile of the live table state: rows,
     nulls, min/max, KMV ndv estimate. One scan; shuffles independent of
@@ -912,6 +930,20 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument("--target-file-rows", type=int)
     cl.add_argument("--buckets", help="comma-separated bucket subset")
     cl.set_defaults(fn=cmd_cluster)
+
+    cl = sub.add_parser(
+        "compact-log", help="compact a changelog to winning events per key"
+    )
+    cl.add_argument("--changelog", required=True)
+    cl.add_argument("--out", required=True)
+    cl.add_argument("--upto-seq", type=int, default=None)
+    cl.add_argument(
+        "--drop-tombstones", action="store_true",
+        help="drop delete-winners too (ONLY for bootstrap-from-empty "
+        "consumers)",
+    )
+    cl.add_argument("--n-files", type=int, default=None)
+    cl.set_defaults(fn=cmd_compact_log)
 
     pf = sub.add_parser(
         "profile", help="per-column rows/nulls/min/max/ndv profile"
