@@ -571,6 +571,25 @@ def cmd_cluster(args) -> int:
     return 0
 
 
+def cmd_clone(args) -> int:
+    """Deep clone at a snapshot (backup / dataset shipping / DR).
+    Copy cost proportional to the LIVE snapshot, never history."""
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    clone = table.clone_to(
+        args.dest,
+        snapshot_id=args.snapshot,
+        include_lineage=not args.no_lineage,
+    )
+    print(json.dumps({
+        "dest": args.dest,
+        "snapshot_id": clone.current_snapshot_id(),
+    }))
+    return 0
+
+
 def cmd_compact_log(args) -> int:
     """Kafka-style changelog compaction: one LWW reduce, output
     proportional to live keys. See sources/changelog.compact_changelog."""
@@ -930,6 +949,16 @@ def build_parser() -> argparse.ArgumentParser:
     cl.add_argument("--target-file-rows", type=int)
     cl.add_argument("--buckets", help="comma-separated bucket subset")
     cl.set_defaults(fn=cmd_cluster)
+
+    cn = sub.add_parser(
+        "clone", help="deep-clone the table at a snapshot (backup/DR)"
+    )
+    cn.add_argument("--table", required=True)
+    cn.add_argument("--dest", required=True)
+    cn.add_argument("--snapshot", default=None,
+                    help="snapshot id, tag, or branch (default: current)")
+    cn.add_argument("--no-lineage", action="store_true")
+    cn.set_defaults(fn=cmd_clone)
 
     cl = sub.add_parser(
         "compact-log", help="compact a changelog to winning events per key"

@@ -866,6 +866,88 @@ class ManifestTable:
         self.n_buckets = manifest["n_buckets"]
         return sid
 
+    def clone_to(
+        self,
+        dest_root: str,
+        snapshot_id: str | None = None,
+        include_lineage: bool = True,
+    ) -> "ManifestTable":
+        """Deep clone at a snapshot (tag/branch names resolve): backup,
+        dataset shipping, or DR promotion.
+
+        Copies the snapshot's data files (relative paths preserved — the
+        snap-dir millis embedded in them keep schema-era resolution and
+        zone maps valid) plus a single root manifest whose ``parent`` is
+        cut (the clone's history starts here) but whose
+        ``applied_epochs`` carry over — so a promoted clone resumes the
+        SOURCE's changelog stream exactly-once: re-delivery of an
+        already-applied epoch is a no-op on the clone too (tested).
+        Source tags/branches/feed-cursors/sidecars are NOT copied (a
+        Bloom sidecar is rebuilt by ``maintain()``; absent sidecars read
+        conservatively). Copy cost ∝ LIVE snapshot size, never history:
+        expired/overwritten files are unreachable from the manifest. The
+        per-file copy loop is driver-side here; on object storage it
+        would be issued as parallel server-side copies — the file LIST
+        is already exactly right (manifest-driven, no directory walk).
+        """
+        m = self.manifest(snapshot_id)
+        if m is None:
+            raise ValueError(f"no snapshot to clone at {snapshot_id!r}")
+        if os.path.exists(os.path.join(dest_root, "_table.json")):
+            raise ValueError(f"destination already a table: {dest_root}")
+        os.makedirs(os.path.join(dest_root, "_manifests"), exist_ok=True)
+        os.makedirs(os.path.join(dest_root, "data"), exist_ok=True)
+        with open(os.path.join(dest_root, "_table.json"), "w") as f:
+            json.dump(
+                {
+                    "n_buckets": m.get("n_buckets", self.n_buckets),
+                    "key_cols": list(self.key_cols),
+                    "write_sort": list(self.write_sort),
+                    "target_file_rows": self.target_file_rows,
+                },
+                f,
+            )
+        n_copied = 0
+        for paths in m["files"].values():
+            for rel in paths:
+                src = os.path.join(self.root, rel)
+                dst = os.path.join(dest_root, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copy2(src, dst)
+                n_copied += 1
+        root_m = dict(m)
+        root_m["parent"] = None
+        root_m["lineage"] = {
+            **m.get("lineage", {}),
+            "checkpoint_id": f"clone:{self.root}:{m['snapshot_id']}",
+        }
+        with open(
+            os.path.join(
+                dest_root, "_manifests", f"{m['snapshot_id']}.json"
+            ),
+            "w",
+        ) as f:
+            json.dump(root_m, f)
+        cur = os.path.join(dest_root, "_current")
+        with open(cur + ".tmp", "w") as f:
+            f.write(m["snapshot_id"])
+        os.replace(cur + ".tmp", cur)
+        if include_lineage and os.path.isdir(
+            os.path.join(self.root, "_lineage")
+        ):
+            shutil.copytree(
+                os.path.join(self.root, "_lineage"),
+                os.path.join(dest_root, "_lineage"),
+            )
+        logger.info(
+            "cloned %s@%s -> %s (%d files)",
+            self.root,
+            m["snapshot_id"],
+            dest_root,
+            n_copied,
+        )
+        return ManifestTable(self.spark, dest_root)
+
     def read_changes(
         self,
         from_snapshot_id: str | None = None,
