@@ -3603,6 +3603,113 @@ def agg_rollup(spark, sf):
 
 
 @q(
+    "q3_shipping_priority",
+    "multi-join OLAP (TPC-H Q3 shape): customer ⋈ orders ⋈ lineitem + "
+    "group + top-k — Catalyst broadcast-joins the filtered customer dim "
+    "and takes the top 10 via TakeOrderedAndProject, never a global sort",
+    """SELECT l_orderkey,
+              CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18, 4))) AS VARCHAR) AS revenue,
+              strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+              o_orderpriority
+       FROM customer, orders, lineitem
+       WHERE c_mktsegment = 'BUILDING'
+         AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+         AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18, 4))) DESC, o_orderdate, l_orderkey
+       LIMIT 10""",
+    note="revenue summed over DECIMAL(18,4) — exact integer arithmetic, "
+    "no float ordering drift between engines; the per-row product is "
+    "rounded identically (both engines round half-up casting DOUBLE to "
+    "DECIMAL); emitted as string to dodge trailing-zero display "
+    "differences; l_orderkey tiebreak makes the LIMIT deterministic",
+)
+def q3_shipping(spark, sf):
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,4)"
+        )
+    )
+    c = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("_rev"))
+        .orderBy(F.desc("_rev"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("_rev").cast("string").alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@q(
+    "q5_local_supplier_volume",
+    "six-way join OLAP (TPC-H Q5 shape): region→nation→customer→orders→"
+    "lineitem→supplier with the co-nationality predicate — the small "
+    "dims broadcast, the two fact tables meet in ONE shuffled equi-join",
+    """SELECT n_name,
+              CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18, 4))) AS VARCHAR) AS revenue
+       FROM customer, orders, lineitem, supplier, nation, region
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         AND r_name = 'ASIA'
+         AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       GROUP BY n_name ORDER BY n_name""",
+    note="same DECIMAL(18,4) exact-sum idiom as q3; ORDER BY n_name "
+    "(not revenue) so the output order never depends on the measure",
+)
+def q5_volume(spark, sf):
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,4)"
+        )
+    )
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf, "nation").join(
+        r, F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = _t(spark, sf, "supplier").join(
+        n, F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(
+            c,
+            (o["o_custkey"] == c["c_custkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(rev.cast("string").alias("revenue"))
+        .orderBy("n_name")
+    )
+
+
+@q(
     "w3_lead_lag_gaps",
     "per-key sequence navigation: lag/lead event ids and inter-event "
     "gap in microseconds (one hash-partitioned sort per user — the "
