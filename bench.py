@@ -64,6 +64,9 @@ HEADLINE = [
     # round 4 additions
     "ev_sessionize",
     "cdc_scd2_history",
+    "j9_interval_join",
+    "agg_kmv_distinct",
+    "q3_shipping_priority",
 ]
 
 

@@ -202,32 +202,62 @@ def frequent_items(
         yield out
 
     phase1 = keyed.mapInPandas(gen, "_key string, _pn long")
-    # in-plan completeness guard: min_count > N/(capacity+1)
+    # in-plan completeness guard: min_count > N/(capacity+1). It rides
+    # the CANDIDATE union (a 0-row branch whose filter must evaluate
+    # assert_true to learn its cardinality), NOT a crossJoin against the
+    # output — an adversarially uniform key distribution can leave the
+    # candidate set (and hence the output) EMPTY, and AQE's
+    # empty-relation propagation would eliminate a join against it
+    # without ever evaluating the guard: a silent wrong answer in
+    # exactly the under-capacity regime the guard exists to catch.
+    # Careful construction — two optimizer rules can silently DELETE a
+    # side-effecting check: (a) assert_true is NullType-typed, so
+    # IsNull/IsNotNull over it folds statically without evaluation;
+    # (b) a union branch whose key is a null/constant literal gets the
+    # join-inferred isnotnull(_key) filter constant-folded to false and
+    # the whole branch (raise_error included) pruned. So the guard
+    # emits ONE candidate row whose VALUE is computed from the check
+    # (non-foldable), and a capacity violation raises while computing
+    # it. The sentinel key matches no input row in the semi-join (and
+    # if a pathological corpus does contain it, counting that key is
+    # simply correct), so results are unchanged.
     total = phase1.agg(F.sum("_pn").alias("_n"))
-    guard = total.select(
-        F.assert_true(
-            F.lit(float(min_count)) * (cap + 1) > F.col("_n"),
-            F.concat(
-                F.lit(
-                    f"frequent_items: capacity {cap} cannot guarantee "
-                    f"completeness for min_count {min_count} at N="
-                ),
-                F.col("_n").cast("string"),
-                F.lit(f" (need capacity >= N/min_count)"),
-            ),
-        ).alias("_g")
+    guard_rows = total.select(
+        F.concat(
+            F.lit("__vds_capacity_guard__"),
+            F.when(
+                F.lit(float(min_count)) * (cap + 1) > F.col("_n"),
+                F.lit(1),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"frequent_items: capacity {cap} cannot "
+                            "guarantee completeness for min_count "
+                            f"{min_count} at N="
+                        ),
+                        F.col("_n").cast("string"),
+                        F.lit(" (need capacity >= N/min_count)"),
+                    )
+                ).cast("int")
+            )
+            .cast("string"),
+        ).alias("_key")
     )
-    cands = phase1.filter(F.col("_key").isNotNull()).select("_key").distinct()
-    counted = (
+    # phase1 feeds both the guard aggregate and the candidate branch:
+    # one extra map-only pass over the summaries (<= partitions*cap
+    # rows), not over the input
+    cands = (
+        phase1.filter(F.col("_key").isNotNull())
+        .select("_key")
+        .union(guard_rows)
+        .distinct()
+    )
+    return (
         keyed.join(cands, "_key", "left_semi")
         .groupBy("_key")
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= min_count)
-    )
-    # ride the guard along as an always-null crossed-in scalar; the
-    # filter keeps it un-prunable so assert_true always evaluates
-    return (
-        counted.crossJoin(F.broadcast(guard))
-        .filter(F.col("_g").isNull())
         .select(F.col("_key").alias("key"), "cnt")
     )
