@@ -291,6 +291,107 @@ def bench_ingest(spark) -> dict:
     return out
 
 
+def bench_mor(spark, log_dir: str) -> dict:
+    """Write amplification under a small-batch CDC trickle: the same K
+    update micro-batches merged into a COW table and a merge-on-read
+    table (both pre-loaded with the full changelog). COW rewrites every
+    touched bucket per batch (bytes ∝ table); MOR appends per-bucket log
+    files (bytes ∝ batch) and pays a read-time LWW resolve until
+    ``compact_logs`` folds the deltas. Reports per-mode update seconds,
+    data bytes written by the updates, the MOR read overhead, and the
+    compaction cost."""
+    from pyspark.sql import functions as F
+
+    from vuln_datasync_spark.sinks import ManifestTable
+    from vuln_datasync_spark.streaming import apply_batch
+
+    sink_base = "/dev/shm/vds-bench" if os.path.isdir("/dev/shm") else WORK
+    os.makedirs(sink_base, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="vds_mor_", dir=sink_base)
+
+    def _data_bytes(root):
+        total = 0
+        for dirpath, _dirs, names in os.walk(os.path.join(root, "data")):
+            for n in names:
+                total += os.path.getsize(os.path.join(dirpath, n))
+        return total
+
+    raw = spark.read.schema(CHANGELOG_SCHEMA).parquet(log_dir)
+    max_seq = raw.agg(F.max("commit_seq")).first()[0]
+    n_batches, per_batch = 6, 2000
+    # deterministic key sample, disjoint across batches
+    keys = (
+        raw.select("repo", "path")
+        .distinct()
+        .withColumn(
+            "_g", F.pmod(F.xxhash64("repo", "path"), F.lit(n_batches * 50))
+        )
+        .filter(F.col("_g") < n_batches)
+        .persist()
+    )
+    keys.count()
+
+    def _update_batch(i):
+        return (
+            keys.filter(F.col("_g") == i)
+            .limit(per_batch)
+            .select(
+                F.lit(max_seq + 1 + i).cast("long").alias("commit_seq"),
+                F.lit("update").alias("op"),
+                "repo",
+                "path",
+                F.md5(F.concat(F.lit(i), F.col("path"))).alias("commit"),
+                F.lit("python").alias("lang"),
+                F.concat(F.lit(f"bench-update-{i}-"), F.col("path")).alias(
+                    "content"
+                ),
+                F.lit(None).cast("timestamp").alias("ts"),
+                F.lit(None).cast("long").alias("size_bytes"),
+            )
+        )
+
+    out = {"batches": n_batches, "rows_per_batch": per_batch}
+    for mode in ("cow", "mor"):
+        tbl = ManifestTable.create(
+            spark,
+            os.path.join(base, mode),
+            n_buckets=64,
+            merge_mode=mode,
+        )
+        apply_batch(raw, tbl, "load", 0)  # bulk load, untimed
+        loaded = _data_bytes(tbl.root)
+        t0 = time.monotonic()
+        for i in range(n_batches):
+            lin = apply_batch(_update_batch(i), tbl, "upd", i + 1)
+            assert lin is not None and lin["rows_applied"] > 0
+        sec = time.monotonic() - t0
+        out[mode] = {
+            "update_sec": round(sec, 3),
+            "update_bytes_written": _data_bytes(tbl.root) - loaded,
+        }
+        t0 = time.monotonic()
+        n_live = tbl.read().count()
+        out[mode]["read_sec"] = round(time.monotonic() - t0, 3)
+        out[mode]["rows"] = n_live
+        if mode == "mor":
+            t0 = time.monotonic()
+            assert tbl.compact_logs() is not None
+            out[mode]["compact_sec"] = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            assert tbl.read().count() == n_live
+            out[mode]["read_after_compact_sec"] = round(
+                time.monotonic() - t0, 3
+            )
+    keys.unpersist()
+    out["write_amplification_x"] = round(
+        out["cow"]["update_bytes_written"]
+        / max(1, out["mor"]["update_bytes_written"]),
+        1,
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def bench_zone(spark, log_dir: str, n_events: int) -> dict:
     """Zone-map data skipping on an events-archive table: bulk-load the
     full changelog keyed by its unique commit_seq (the append fast path),
@@ -423,6 +524,7 @@ def main():
     timings["cdc_replay"] = r["sec"]
     zone = bench_zone(spark, log_dir, N_EVENTS)
     ingest = bench_ingest(spark)
+    mor = bench_mor(spark, log_dir)
     spark.stop()
 
     scaling = None
@@ -443,6 +545,7 @@ def main():
         "cdc": cdc,
         "zone": zone,
         "ingest": ingest,
+        "mor": mor,
         "scaling": scaling,
     }
     print(json.dumps(out))

@@ -52,7 +52,10 @@ def cmd_replay(args) -> int:
     if os.path.exists(os.path.join(args.table, "_table.json")):
         table = ManifestTable(spark, args.table)
     else:
-        table = ManifestTable.create(spark, args.table, n_buckets=args.buckets)
+        table = ManifestTable.create(
+            spark, args.table, n_buckets=args.buckets,
+            merge_mode=args.merge_mode,
+        )
     if args.branch:
         table = table.for_branch(args.branch)
     events = read_changelog_batch(
@@ -173,10 +176,15 @@ def cmd_compact(args) -> int:
 
     spark = _spark(args)
     table = ManifestTable(spark, args.table)
+    out = {}
+    if args.compact_logs:
+        out["log_compaction"] = table.compact_logs(
+            min_logs=args.min_bucket_logs
+        )
     if args.expire_tombstones_below is not None:
         table.expire_tombstones(args.expire_tombstones_below)
     table.expire_snapshots(keep=args.keep_snapshots)
-    out = {"snapshots": len(table.snapshots())}
+    out["snapshots"] = len(table.snapshots())
     if args.expire_lineage_before:
         out["lineage_expire"] = table.expire_lineage(args.expire_lineage_before)
     out["lineage_compact"] = table.compact_lineage(
@@ -685,6 +693,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--batch-id", type=int, default=0)
     r.add_argument("--lww-mode", default="auto",
                    choices=["auto", "ordkey", "window", "salted", "maxby"])
+    r.add_argument("--merge-mode", default="cow", choices=["cow", "mor"],
+                   help="table write mode when CREATING the table: cow "
+                   "rewrites touched buckets; mor appends per-bucket log "
+                   "files (compact with `compact --logs`)")
     r.add_argument(
         "--branch", help="commit to this branch ref instead of main (WAP)"
     )
@@ -748,6 +760,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="drop lineage rows committed before this ISO-8601 UTC time")
     c.add_argument("--lineage-max-files", type=int, default=64,
                    help="compact _lineage/ when it holds more parquet files than this")
+    c.add_argument("--logs", dest="compact_logs", action="store_true",
+                   help="fold merge-on-read log files into base files")
+    c.add_argument("--min-bucket-logs", type=int, default=1,
+                   help="with --logs: only fold buckets with at least this many log files")
     c.set_defaults(fn=cmd_compact)
 
     i = sub.add_parser(

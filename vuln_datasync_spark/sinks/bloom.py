@@ -115,7 +115,10 @@ def build_bloom(
             )
 
     all_rels = sorted(
-        p for paths in m_manifest["files"].values() for p in paths
+        p
+        for paths in list(m_manifest["files"].values())
+        + list((m_manifest.get("logs") or {}).values())
+        for p in paths
     )
     side = _read_sidecar(table)
     covered: set[tuple[str, str]] = set()
@@ -287,7 +290,14 @@ def compact_bloom(table, max_files: int = 16) -> dict:
         return {"compacted": False, "parts": len(parts)}
     m = table.manifest()
     live = (
-        {p for paths in m["files"].values() for p in paths} if m else set()
+        {
+            p
+            for paths in list(m["files"].values())
+            + list((m.get("logs") or {}).values())
+            for p in paths
+        }
+        if m
+        else set()
     )
     side = _read_sidecar(table)
     kept = side.filter(F.col("rel").isin(list(live))) if live else None

@@ -145,6 +145,7 @@ class ManifestTable:
         self.key_cols = tuple(meta["key_cols"])
         self.write_sort = tuple(meta.get("write_sort") or ())
         self.target_file_rows = meta.get("target_file_rows")
+        self.merge_mode = meta.get("merge_mode", "cow")
         # the CURRENT manifest is authoritative for the bucket layout:
         # rebucket commits the new layout atomically with its files, while
         # _table.json is only a bootstrap (swapped after commit) — a crash
@@ -164,6 +165,7 @@ class ManifestTable:
         key_cols: tuple[str, ...] = KEY_COLS,
         write_sort: tuple[str, ...] | None = None,
         target_file_rows: int | None = None,
+        merge_mode: str = "cow",
     ) -> "ManifestTable":
         """``write_sort`` + ``target_file_rows``: the always-clustered
         layout. Every bucket rewrite (merge, expiry, rebucket) sorts the
@@ -173,7 +175,18 @@ class ManifestTable:
         rewritten bucket at write time — the right trade for
         read-mostly / time-scanned tables; leave unset for
         write-heavy tables and run ``cluster()`` in maintenance windows
-        instead."""
+        instead.
+
+        ``merge_mode``: ``"cow"`` (default) rewrites touched buckets on
+        every merge — read-optimal, write amplification ∝ bucket size.
+        ``"mor"`` (merge-on-read, Hudi MOR / Iceberg merge-on-read
+        analog) appends each batch as per-bucket LOG files and resolves
+        base ∪ logs per key at read time with the same LWW order — write
+        cost ∝ batch size, the right trade for high-frequency small CDC
+        batches; ``compact_logs()`` / ``maintain()`` fold logs back into
+        the base."""
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be cow|mor, got {merge_mode!r}")
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         with open(os.path.join(root, "_table.json"), "w") as f:
@@ -183,6 +196,7 @@ class ManifestTable:
                     "key_cols": list(key_cols),
                     "write_sort": list(write_sort or ()),
                     "target_file_rows": target_file_rows,
+                    "merge_mode": merge_mode,
                 },
                 f,
             )
@@ -194,6 +208,7 @@ class ManifestTable:
             "key_cols": list(self.key_cols),
             "write_sort": list(self.write_sort),
             "target_file_rows": self.target_file_rows,
+            "merge_mode": self.merge_mode,
         }
 
     def _sync_layout(self, m: dict | None) -> None:
@@ -597,12 +612,49 @@ class ManifestTable:
 
     # ---------- read ----------
 
-    def _files_for(self, manifest: dict, buckets: list[int] | None = None):
+    def _files_for(
+        self,
+        manifest: dict,
+        buckets: list[int] | None = None,
+        exclude: set[int] | None = None,
+    ):
         files = []
         for b, paths in manifest["files"].items():
+            if exclude and int(b) in exclude:
+                continue
             if buckets is None or int(b) in buckets:
                 files += [os.path.join(self.root, p) for p in paths]
         return files
+
+    def _log_files_for(self, manifest: dict, buckets: list[int] | None = None):
+        """MOR log files (merge-on-read deltas) for the given buckets."""
+        files = []
+        for b, paths in (manifest.get("logs") or {}).items():
+            if paths and (buckets is None or int(b) in buckets):
+                files += [os.path.join(self.root, p) for p in paths]
+        return files
+
+    def _logged_buckets(
+        self, manifest: dict, buckets: list[int] | None = None
+    ) -> list[int]:
+        """Buckets with outstanding MOR log files (scoped to ``buckets``)."""
+        out = {
+            int(b)
+            for b, ps in (manifest.get("logs") or {}).items()
+            if ps
+        }
+        if buckets is not None:
+            out &= set(buckets)
+        return sorted(out)
+
+    @staticmethod
+    def _drop_logs(manifest: dict, buckets) -> dict:
+        """Parent log map minus entries for just-rewritten buckets (their
+        log rows are folded into the new base files)."""
+        logs = dict(manifest.get("logs") or {})
+        for b in buckets:
+            logs.pop(str(b), None)
+        return logs
 
     @classmethod
     def _file_overlaps(cls, meta: dict | None, enc_filters: dict) -> bool:
@@ -642,11 +694,21 @@ class ManifestTable:
         if m is None:
             return {"kept": [], "skipped": []}
         enc = self._enc_filters(range_filters)
+        # logged (merge-on-read) buckets prune on key columns only —
+        # mirrors read(); see its docstring for why
+        enc_key = {c: v for c, v in enc.items() if c in self.key_cols}
+        logged = set(self._logged_buckets(m))
         fm = m.get("file_meta", {})
         kept, skipped = [], []
-        for paths in m["files"].values():
+        for b, paths in m["files"].items():
+            e = enc_key if int(b) in logged else enc
             for p in paths:
-                (kept if self._file_overlaps(fm.get(p), enc) else skipped).append(p)
+                (kept if self._file_overlaps(fm.get(p), e) else skipped).append(p)
+        for paths in (m.get("logs") or {}).values():
+            for p in paths:
+                (
+                    kept if self._file_overlaps(fm.get(p), enc_key) else skipped
+                ).append(p)
         return {"kept": sorted(kept), "skipped": sorted(skipped)}
 
     def read(
@@ -679,10 +741,19 @@ class ManifestTable:
         covered the files, the per-file Bloom sidecar — the path that
         skips files for high-cardinality probes (content hashes, alias
         strings) whose per-file min/max spans everything. Files without
-        Bloom coverage are conservatively kept."""
+        Bloom coverage are conservatively kept.
+
+        Merge-on-read tables: buckets with outstanding log files are
+        resolved per key (base ∪ logs, same LWW total order the COW merge
+        uses) before any tombstone filtering. File-level pruning inside a
+        logged bucket uses KEY-column predicates only — a non-key zone /
+        Bloom skip could drop the file holding a key's winner while
+        keeping a stale in-range version, silently resurrecting it; key
+        predicates are safe because every version of a key shares its key
+        values. Non-key predicates still apply row-level after
+        resolution, and log-free buckets keep full pruning."""
         m = self.manifest(snapshot_id)
         schema = T.StructType.fromJson(m["schema"]) if m else None
-        files = self._files_for(m, buckets) if m else []
         if eq_filters:
             range_filters = dict(range_filters or {})
             for c, v in eq_filters.items():
@@ -690,42 +761,88 @@ class ManifestTable:
                 # already ranges this column)
                 if v is not None and c not in range_filters:
                     range_filters[c] = (v, v)
-        if m and range_filters:
-            enc = self._enc_filters(range_filters)
-            fm = m.get("file_meta", {})
-            root_abs = os.path.abspath(self.root)
-            files = [
-                f_
-                for f_ in files
-                if self._file_overlaps(
-                    fm.get(os.path.relpath(f_, root_abs)), enc
-                )
-            ]
-        if m and eq_filters and files:
-            from .bloom import bloom_excluded_rels
+        logged = self._logged_buckets(m, buckets) if m else []
 
-            root_abs = os.path.abspath(self.root)
-            for c, v in eq_filters.items():
-                excl = bloom_excluded_rels(self, c, v)
-                if excl:
-                    files = [
-                        f_
-                        for f_ in files
-                        if os.path.relpath(f_, root_abs) not in excl
-                    ]
-                if not files:
-                    break
-        if not files:
+        def _prune(files, rf, eq_cols):
+            """Zone-map + Bloom file skipping, restricted to ``rf`` /
+            ``eq_cols`` (the caller scopes these to key columns for
+            logged buckets)."""
+            if rf and files:
+                enc = self._enc_filters(rf)
+                fm = m.get("file_meta", {})
+                root_abs = os.path.abspath(self.root)
+                files = [
+                    f_
+                    for f_ in files
+                    if self._file_overlaps(
+                        fm.get(os.path.relpath(f_, root_abs)), enc
+                    )
+                ]
+            if eq_filters and files:
+                from .bloom import bloom_excluded_rels
+
+                root_abs = os.path.abspath(self.root)
+                for c, v in eq_filters.items():
+                    if c not in eq_cols:
+                        continue
+                    excl = bloom_excluded_rels(self, c, v)
+                    if excl:
+                        files = [
+                            f_
+                            for f_ in files
+                            if os.path.relpath(f_, root_abs) not in excl
+                        ]
+                    if not files:
+                        break
+            return files
+
+        all_cols = set((range_filters or {})) | set((eq_filters or {}))
+        base_files = (
+            self._files_for(m, buckets, exclude=set(logged)) if m else []
+        )
+        base_files = _prune(base_files, range_filters or {}, all_cols)
+        log_side_files: list[str] = []
+        if logged:
+            key_set = set(self.key_cols)
+            rf_key = {
+                c: v
+                for c, v in (range_filters or {}).items()
+                if c in key_set
+            }
+            log_side_files = _prune(
+                self._files_for(m, logged) + self._log_files_for(m, logged),
+                rf_key,
+                key_set,
+            )
+
+        def _open(files):
+            slog = m.get("schema_log") or []
+            if slog:
+                return self._read_with_schema_log(files, schema, slog)
+            return self.spark.read.schema(schema).parquet(*files)
+
+        parts = []
+        if base_files:
+            parts.append(_open(base_files))
+        if log_side_files:
+            # <= 1 base row + a few log rows per key: the per-key window
+            # sort is constant-size, shuffle ∝ rows in logged buckets
+            parts.append(
+                lww_resolve(
+                    _open(log_side_files),
+                    mode="window",
+                    key_cols=self.key_cols,
+                )
+            )
+        if not parts:
             empty_schema = schema or T.StructType(
                 [T.StructField(c, T.StringType()) for c in self.key_cols]
             )
             df = self.spark.createDataFrame([], empty_schema)
+        elif len(parts) == 1:
+            df = parts[0]
         else:
-            slog = m.get("schema_log") or []
-            if slog:
-                df = self._read_with_schema_log(files, schema, slog)
-            else:
-                df = self.spark.read.schema(schema).parquet(*files)
+            df = parts[0].unionByName(parts[1])
         if not include_tombstones and "is_deleted" in df.columns:
             # coalesce: a null is_deleted (row merged in bypassing
             # normalize, e.g. direct merge() with a null op) must stay
@@ -856,6 +973,7 @@ class ManifestTable:
             "applied_epochs": sorted(target["applied_epochs"]),
             "schema": target["schema"],
             "files": dict(target["files"]),
+            "logs": dict(target.get("logs") or {}),
             "bucket_meta": dict(target.get("bucket_meta", {})),
             "file_meta": dict(target.get("file_meta", {})),
             "schema_log": list(target.get("schema_log", [])),
@@ -899,16 +1017,12 @@ class ManifestTable:
         os.makedirs(os.path.join(dest_root, "data"), exist_ok=True)
         with open(os.path.join(dest_root, "_table.json"), "w") as f:
             json.dump(
-                {
-                    "n_buckets": m.get("n_buckets", self.n_buckets),
-                    "key_cols": list(self.key_cols),
-                    "write_sort": list(self.write_sort),
-                    "target_file_rows": self.target_file_rows,
-                },
-                f,
+                self._layout_meta(m.get("n_buckets", self.n_buckets)), f
             )
         n_copied = 0
-        for paths in m["files"].values():
+        for paths in list(m["files"].values()) + list(
+            (m.get("logs") or {}).values()
+        ):
             for rel in paths:
                 src = os.path.join(self.root, rel)
                 dst = os.path.join(dest_root, rel)
@@ -1005,10 +1119,15 @@ class ManifestTable:
             nb_to = m_to.get("n_buckets") or self.n_buckets
             if nb_from == nb_to:
                 fa, fb = m_from["files"], m_to["files"]
+                la = m_from.get("logs") or {}
+                lb = m_to.get("logs") or {}
+                # a merge-on-read commit touches only the log lists — a
+                # bucket counts as changed when EITHER layer differs
                 buckets = sorted(
                     int(b)
-                    for b in set(fa) | set(fb)
+                    for b in set(fa) | set(fb) | set(la) | set(lb)
                     if sorted(fa.get(b, ())) != sorted(fb.get(b, ()))
+                    or sorted(la.get(b, ())) != sorted(lb.get(b, ()))
                 )
 
         out_fields = [f for f in schema.fields if f.name != "is_deleted"] + [
@@ -1025,7 +1144,9 @@ class ManifestTable:
                 # rename between the snapshots is not reported as every
                 # row changing: the base side's files resolve their
                 # physical names by era, then align to the target schema
-                files = self._files_for(m, buckets)
+                files = self._files_for(m, buckets) + self._log_files_for(
+                    m, buckets
+                )
                 slog = m_to.get("schema_log") or []
                 if not files:
                     df = self.spark.createDataFrame([], schema)
@@ -1034,6 +1155,12 @@ class ManifestTable:
                 else:
                     df = self.spark.read.schema(schema).parquet(*files)
                 df = _conform(df, schema)
+                if self._logged_buckets(m, buckets):
+                    # merge-on-read side: collapse base ∪ logs to the
+                    # per-key winner before diffing
+                    df = lww_resolve(
+                        df, mode="window", key_cols=tuple(keys)
+                    )
             live = (
                 ~F.coalesce(F.col("is_deleted"), F.lit(False))
                 if "is_deleted" in df.columns
@@ -1110,6 +1237,7 @@ class ManifestTable:
         seq_range=None,
         max_commit_retries: int = 3,
         partial_update: bool = False,
+        mor: bool | None = None,
     ) -> dict | None:
         """MERGE one-winner-per-key batch into the table.
 
@@ -1134,7 +1262,19 @@ class ManifestTable:
         ``partial_update``: null payload columns in incoming events mean
         "unchanged" — the matched row keeps its stored value for them
         (Debezium-style sparse updates; see ``lww_resolve_partial``).
-        ``content_sha256`` is recomputed on the merged row."""
+        ``content_sha256`` is recomputed on the merged row.
+
+        ``mor``: override the table's ``merge_mode`` for this batch
+        (None = table default). Merge-on-read appends the batch as
+        per-bucket log files instead of rewriting touched buckets —
+        write cost ∝ batch, resolution deferred to read time (see
+        ``create`` / ``compact_logs``). ``partial_update`` always runs
+        copy-on-write: sparse events need the STORED row at merge time
+        to fill unchanged columns; read-time LWW can't reconstruct them
+        from a log row that only carries the changed fields."""
+        use_mor = (self.merge_mode == "mor") if mor is None else bool(mor)
+        if partial_update:
+            use_mor = False
         parent = self.current_snapshot_id()
         parent_m = self.manifest(parent) if parent else None
         self._sync_layout(parent_m)
@@ -1172,6 +1312,7 @@ class ManifestTable:
                         checkpoint_id,
                         batch_id,
                         partial_update=partial_update,
+                        mor=use_mor,
                     )
                 except CommitConflict:
                     if attempt >= max_commit_retries:
@@ -1211,6 +1352,7 @@ class ManifestTable:
         checkpoint_id,
         batch_id,
         partial_update: bool = False,
+        mor: bool = False,
     ) -> dict | None:
         # per-bucket stats in ONE job (also yields affected-bucket list);
         # materializes the persisted batch as a side effect
@@ -1238,7 +1380,14 @@ class ManifestTable:
         stored_files = parent_m and any(
             parent_m["files"].get(str(b)) for b in affected
         )
-        if not stored_files:
+        mor_write = bool(mor and stored_files)
+        if mor_write:
+            # merge-on-read: the batch (already one LWW winner per key,
+            # conformed to the reconciled schema) IS the log delta — no
+            # target read, no bucket rewrite; write ∝ batch size. Reads
+            # resolve base ∪ logs per key (read() docstring).
+            merged = batch
+        elif not stored_files:
             # S12 bulk-append fast path (reference analog: batch INSERT,
             # /root/reference/internal/database/batch.go bulk path): none
             # of the touched buckets has stored data, so the batch (already
@@ -1287,19 +1436,44 @@ class ManifestTable:
                 for p in glob.glob(os.path.join(bdir, "*.parquet"))
             ]
         files = dict(parent_m["files"]) if parent_m else {}
-        for b in affected:
-            files.pop(str(b), None)
-        files.update(new_files)
+        logs = dict(parent_m.get("logs") or {}) if parent_m else {}
+        new_bm, new_fm = self._write_stats(snap_dir)
 
         # per-bucket tombstone stats: read back ONLY the files just written
         # (column-pruned to is_deleted+commit_seq — a few KB per bucket),
         # carry untouched buckets' stats forward. expire_tombstones selects
         # buckets from these stats instead of scanning the whole table.
         bucket_meta = dict(parent_m.get("bucket_meta", {})) if parent_m else {}
-        for b in affected:
-            bucket_meta.pop(str(b), None)
-        new_bm, new_fm = self._write_stats(snap_dir)
-        bucket_meta.update(new_bm)
+        if mor_write:
+            # base files untouched; the new files are per-bucket log deltas
+            for b, ps in new_files.items():
+                logs[b] = list(logs.get(b, ())) + ps
+            # tombstone stats become an additive UPPER bound (a log
+            # tombstone may shadow a base one): still safe for triggering
+            # expiry, which rewrites with the exact predicate. Buckets
+            # with no prior entry stay unknown -> expiry's scan fallback.
+            for b, nm in new_bm.items():
+                old = bucket_meta.get(b)
+                if old is not None:
+                    tseqs = [
+                        s
+                        for s in (old["min_tomb_seq"], nm["min_tomb_seq"])
+                        if s is not None
+                    ]
+                    bucket_meta[b] = {
+                        "n_tombstones": old["n_tombstones"]
+                        + nm["n_tombstones"],
+                        "min_tomb_seq": min(tseqs) if tseqs else None,
+                    }
+        else:
+            for b in affected:
+                files.pop(str(b), None)
+                bucket_meta.pop(str(b), None)
+                # COW rewrite folds any outstanding log rows (the target
+                # read resolves them) — their files drop out of the manifest
+                logs.pop(str(b), None)
+            files.update(new_files)
+            bucket_meta.update(new_bm)
 
         lineage = {
             "snapshot_id": sid,
@@ -1319,8 +1493,9 @@ class ManifestTable:
             "applied_epochs": sorted(applied | {epoch_key}),
             "schema": new_schema.jsonValue(),
             "files": files,
+            "logs": logs,
             "bucket_meta": bucket_meta,
-            "file_meta": self._carry_file_meta(parent_m, files, new_fm),
+            "file_meta": self._carry_file_meta(parent_m, files, new_fm, logs),
             "lineage": lineage,
         }
         try:
@@ -1535,13 +1710,21 @@ class ManifestTable:
         return bucket_meta, file_meta
 
     def _carry_file_meta(
-        self, parent_m: dict | None, files: dict, new_meta: dict
+        self,
+        parent_m: dict | None,
+        files: dict,
+        new_meta: dict,
+        logs: dict | None = None,
     ) -> dict:
         """file_meta for a new manifest: fresh stats for just-written
-        files, parent stats carried forward for files still referenced."""
+        files, parent stats carried forward for files still referenced
+        (MOR log files included — their zone maps drive the key-column
+        pruning read() still applies inside logged buckets)."""
         old = dict(parent_m.get("file_meta", {})) if parent_m else {}
         old.update(new_meta)
         live = {p for paths in files.values() for p in paths}
+        if logs:
+            live |= {p for paths in logs.values() for p in paths}
         return {p: meta for p, meta in old.items() if p in live}
 
     def _commit_noop(self, parent, parent_m, epoch_key, seq_range):
@@ -1583,15 +1766,21 @@ class ManifestTable:
     def _commit(self, manifest: dict, expected_parent: str | None):
         if self.current_snapshot_id() != expected_parent:
             raise CommitConflict("concurrent commit detected (parent moved)")
-        if "schema_log" not in manifest:
-            # every commit carries the column rename/drop history forward
-            # (rollback overrides this with the TARGET's log explicitly)
+        if "schema_log" not in manifest or "logs" not in manifest:
             pm = (
                 self.manifest(manifest.get("parent"))
                 if manifest.get("parent")
                 else None
             )
-            manifest["schema_log"] = pm.get("schema_log", []) if pm else []
+            # every commit carries the column rename/drop history forward
+            # (rollback overrides this with the TARGET's log explicitly)
+            if "schema_log" not in manifest:
+                manifest["schema_log"] = pm.get("schema_log", []) if pm else []
+            # same for MOR log files: a metadata-only commit (alter,
+            # noop) must not orphan outstanding deltas. Bucket-rewrite
+            # paths set "logs" explicitly (dropping rewritten buckets).
+            if "logs" not in manifest:
+                manifest["logs"] = dict(pm.get("logs") or {}) if pm else {}
         sid = manifest["snapshot_id"]
         mpath = os.path.join(self.root, "_manifests", f"{sid}.json")
         with open(mpath + ".tmp", "w") as f:
@@ -1883,7 +2072,8 @@ class ManifestTable:
         bucket_meta = m.get("bucket_meta", {})
         affected: list[int] = []
         unknown: list[int] = []  # buckets with files but no stats entry
-        for b in m["files"]:
+        logs = m.get("logs") or {}
+        for b in set(m["files"]) | {b for b, ps in logs.items() if ps}:
             meta = bucket_meta.get(b)
             if meta is None:
                 unknown.append(int(b))
@@ -1939,6 +2129,7 @@ class ManifestTable:
         for b in affected:
             files.pop(str(b), None)
         files.update({b: ps for b, ps in new_files.items() if ps})
+        logs = self._drop_logs(m, affected)  # rewrite folds MOR deltas
         bucket_meta = dict(m.get("bucket_meta", {}))
         for b in affected:
             # rewritten: tombstones with seq >= below_seq survive the purge
@@ -1953,8 +2144,78 @@ class ManifestTable:
             "applied_epochs": m["applied_epochs"],
             "schema": m["schema"],
             "files": files,
+            "logs": logs,
             "bucket_meta": bucket_meta,
-            "file_meta": self._carry_file_meta(m, files, new_fm),
+            "file_meta": self._carry_file_meta(m, files, new_fm, logs),
+            "lineage": None,
+        }
+        self._commit(manifest, expected_parent=m["snapshot_id"])
+        return sid
+
+    def compact_logs(
+        self, buckets: list[int] | None = None, min_logs: int = 1
+    ) -> str | None:
+        """Fold merge-on-read log files back into base files (Hudi
+        compaction / Iceberg rewrite-data-files analog). For each bucket
+        with >= ``min_logs`` outstanding log files (optionally scoped to
+        ``buckets``), read the RESOLVED state (base ∪ logs, tombstones
+        included — they must survive until ``expire_tombstones``) and
+        rewrite it as plain base files; untouched buckets carry forward
+        by reference. Work ∝ rewritten buckets; reads before and after
+        return identical rows — compaction only moves the LWW resolution
+        from read time back to storage. Returns the new snapshot id, or
+        None when no bucket qualifies."""
+        m = self.manifest()
+        if m is None:
+            return None
+        self._sync_layout(m)
+        logmap = m.get("logs") or {}
+        affected = sorted(
+            int(b)
+            for b, ps in logmap.items()
+            if ps
+            and len(ps) >= min_logs
+            and (buckets is None or int(b) in buckets)
+        )
+        if not affected:
+            return None
+        merged = self.read(include_tombstones=True, buckets=affected)
+        merged = merged.withColumn("_bucket", self.bucket_expr())
+        sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        snap_rel = os.path.join("data", f"snap-{sid}")
+        snap_dir = os.path.join(self.root, snap_rel)
+        self._write_bucketed(
+            merged, snap_dir, len(affected),
+            self.write_sort, self.target_file_rows,
+        )
+        new_files: dict[str, list[str]] = {}
+        for bdir in glob.glob(os.path.join(snap_dir, "bucket=*")):
+            b = bdir.rsplit("=", 1)[1]
+            new_files[b] = sorted(
+                os.path.join(snap_rel, os.path.basename(bdir), os.path.basename(p))
+                for p in glob.glob(os.path.join(bdir, "*.parquet"))
+            )
+        files = dict(m["files"])
+        for b in affected:
+            files.pop(str(b), None)
+        files.update({b: ps for b, ps in new_files.items() if ps})
+        logs = self._drop_logs(m, affected)
+        bucket_meta = dict(m.get("bucket_meta", {}))
+        for b in affected:
+            bucket_meta.pop(str(b), None)
+        new_bm, new_fm = self._write_stats(snap_dir)
+        bucket_meta.update(new_bm)
+        manifest = {
+            "snapshot_id": sid,
+            "n_buckets": self.n_buckets,
+            "parent": m["snapshot_id"],
+            "epoch": f"maintenance:compact_logs:{sid}",
+            "applied_epochs": m["applied_epochs"],
+            "schema": m["schema"],
+            "files": files,
+            "logs": logs,
+            "bucket_meta": bucket_meta,
+            "file_meta": self._carry_file_meta(m, files, new_fm, logs),
             "lineage": None,
         }
         self._commit(manifest, expected_parent=m["snapshot_id"])
@@ -2019,6 +2280,7 @@ class ManifestTable:
             "applied_epochs": m["applied_epochs"],
             "schema": m["schema"],
             "files": files,
+            "logs": {},  # full rewrite resolves every outstanding delta
             "bucket_meta": new_bm,
             "file_meta": new_fm,
             "lineage": None,
@@ -2110,6 +2372,7 @@ class ManifestTable:
         for b in affected:
             files.pop(str(b), None)
         files.update(new_files)
+        logs = self._drop_logs(m, affected)  # rewrite folds MOR deltas
         bucket_meta = dict(m.get("bucket_meta", {}))
         for b in affected:
             bucket_meta.pop(str(b), None)
@@ -2123,8 +2386,9 @@ class ManifestTable:
             "applied_epochs": m["applied_epochs"],
             "schema": m["schema"],
             "files": files,
+            "logs": logs,
             "bucket_meta": bucket_meta,
-            "file_meta": self._carry_file_meta(m, files, new_fm),
+            "file_meta": self._carry_file_meta(m, files, new_fm, logs),
             "lineage": None,
         }
         self._commit(manifest, expected_parent=m["snapshot_id"])
@@ -2138,11 +2402,15 @@ class ManifestTable:
         overlap_threshold: float = 0.25,
         keep_snapshots: int = 3,
         sidecar_max_files: int = 64,
+        max_bucket_logs: int = 8,
     ) -> dict:
         """One stat-driven maintenance pass (the table doctor). EVERY
         decision reads manifest JSON only — zero table scans at any
         scale; work is then ∝ the buckets actually rewritten:
 
+        * merge-on-read log compaction — buckets with >=
+          ``max_bucket_logs`` outstanding log files are folded into
+          their base (read cost decays as logs pile up; this bounds it);
         * tombstone expiry — when manifest tombstone counts reach
           ``tombstone_fraction`` of live rows AND the caller supplies the
           safe ``tombstone_watermark`` (stream checkpoint low-water mark);
@@ -2162,11 +2430,24 @@ class ManifestTable:
             "tombstones_expired": None,
             "clustered_buckets": [],
             "cluster_reason": None,
+            "log_compaction": [],
         }
         m = self.manifest()
         if m is None:
             return report
         self._sync_layout(m)
+
+        # merge-on-read log compaction FIRST: folding deltas refreshes the
+        # file/bucket stats every later decision reads (manifest JSON only)
+        need_logs = sorted(
+            int(b)
+            for b, ps in (m.get("logs") or {}).items()
+            if len(ps) >= max_bucket_logs
+        )
+        if need_logs:
+            self.compact_logs(buckets=need_logs)
+            report["log_compaction"] = need_logs
+            m = self.manifest()
 
         bm = m.get("bucket_meta", {})
         fm = m.get("file_meta", {})
@@ -2295,7 +2576,9 @@ class ManifestTable:
                 keep_m = [tm] + keep_m
         live: set[str] = set()
         for m in keep_m:
-            for paths in m["files"].values():
+            for paths in list(m["files"].values()) + list(
+                (m.get("logs") or {}).values()
+            ):
                 live.update(paths)
         keep_ids = {m["snapshot_id"] for m in keep_m}
         # sweep EVERY manifest in the dir, not just the main chain:
@@ -2337,7 +2620,9 @@ class ManifestTable:
         for mp in glob.glob(os.path.join(self.root, "_manifests", "*.json")):
             m = self._read_json(mp)
             if m:
-                for paths in m.get("files", {}).values():
+                for paths in list(m.get("files", {}).values()) + list(
+                    (m.get("logs") or {}).values()
+                ):
                     live.update(paths)
         cutoff = time.time() - older_than_seconds
         removed, kept_recent = [], 0
