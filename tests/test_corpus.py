@@ -325,3 +325,42 @@ def test_shuffle_corpus_deterministic_and_composes(spark):
 
     with pytest.raises(ValueError, match="n_shards"):
         shuffle_corpus(df, "doc_id", n_shards=0)
+
+
+def test_remove_boilerplate_lines_planted(spark):
+    from vuln_datasync_spark.operators.corpus import remove_boilerplate_lines
+
+    hdr = "COOKIE BANNER"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{hdr}\nunique alpha\nshared tail"),
+            (2, f"{hdr}\nunique beta\nshared tail"),
+            (3, f"{hdr}\nunique gamma\nshared tail"),
+            (4, f"{hdr}\nunique delta"),
+            (5, hdr),  # every line boilerplate -> empty, row kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+        for r in remove_boilerplate_lines(docs, min_docs=3).collect()
+    }
+    # header (5 docs) and "shared tail" (3 docs) cross the threshold;
+    # per-doc unique lines survive in original order
+    assert out == {
+        1: ("unique alpha", 3, 2),
+        2: ("unique beta", 3, 2),
+        3: ("unique gamma", 3, 2),
+        4: ("unique delta", 2, 1),
+        5: ("", 1, 1),
+    }
+    # line order preserved when multiple lines survive
+    docs2 = spark.createDataFrame(
+        [(1, "z last\na first\nz last2"), (2, "noise")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_lines(docs2, min_docs=5).collect()
+    }
+    assert got[1] == "z last\na first\nz last2"  # nothing removed, order kept

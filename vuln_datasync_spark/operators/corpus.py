@@ -754,3 +754,71 @@ def normalize_text(
             "long"
         ),
     )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level line deduplication (the C4 / CCNet boilerplate pass):
+    drop every line that occurs in >= ``min_docs`` DISTINCT documents —
+    navigation bars, cookie banners, license headers, "subscribe" footers.
+    Unlike per-document repetition stats this needs global line frequency,
+    which is exactly a distinct-count aggregation.
+
+    Returns one row per input document: ``clean_text`` (surviving lines
+    joined in original order), ``n_lines`` (before), ``n_removed``.
+    Documents whose every line was boilerplate come back with an empty
+    string, not a dropped row — the caller decides the keep threshold.
+
+    Scale: the explode fans out ∝ total corpus lines; the frequency agg
+    shuffles (line, doc) pairs once with map-side combine after an
+    in-partition distinct; the boilerplate set (lines with df >=
+    min_docs) is tiny by construction, so AQE turns the anti-join into a
+    broadcast — the corpus itself is never re-shuffled by the join. Line
+    matching is exact (byte equality); normalize with
+    ``normalize_text`` first when near-identical banners should collapse.
+    Beyond the reference (training-corpus prep; reference analog in
+    spirit: alias sanitation filters, internal/merger/normalizer.go)."""
+    lines = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    boiler = (
+        lines.select("_line", id_col)
+        .distinct()
+        .groupBy("_line")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= F.lit(min_docs))
+        .select("_line")
+    )
+    kept = lines.join(boiler, "_line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda x: x["_line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("_kept"),
+    )
+    return (
+        docs.select(
+            id_col,
+            F.size(F.split(F.col(text_col), "\n")).cast("long").alias(
+                "n_lines"
+            ),
+        )
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -1588,6 +1588,65 @@ def tx_pii(spark, sf):
 
 
 @q(
+    "tx_line_dedup",
+    "corpus prep: corpus-level line dedup / boilerplate removal (C4 / "
+    "CCNet pass; operators/corpus.py remove_boilerplate_lines). The "
+    "synthetic docs are single-line, so boilerplate is planted: a header "
+    "shared by ALL docs plus a per-source footer — footers of sources "
+    "with >= 25 docs must vanish, rare-source footers must survive",
+    """WITH planted AS (
+          SELECT doc_id,
+            '=== COMMON HEADER ===' || chr(10) || text || chr(10)
+              || 'footer of ' || source AS text
+          FROM documents
+        ),
+        lines AS (
+          -- parallel unnests zip: value + its ordinal position
+          SELECT doc_id,
+            unnest(string_split(text, chr(10))) AS line,
+            unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+          FROM planted
+        ),
+        freq AS (
+          SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1
+        ),
+        kept AS (
+          SELECT l.doc_id, l.line, l.pos
+          FROM lines l JOIN freq f USING (line) WHERE f.df < 25
+        ),
+        rebuilt AS (
+          SELECT doc_id,
+            string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+            count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT p.doc_id,
+          coalesce(r.clean_text, '') AS clean_text,
+          len(string_split(p.text, chr(10))) AS n_lines,
+          len(string_split(p.text, chr(10))) - coalesce(r.n_kept, 0)
+            AS n_removed
+        FROM planted p LEFT JOIN rebuilt r USING (doc_id)
+        ORDER BY p.doc_id""",
+    note="explode ∝ corpus lines; ONE distinct+agg shuffle for global "
+    "line frequency; the boilerplate set is tiny by construction so AQE "
+    "broadcasts the anti-join — the corpus never re-shuffles for it",
+)
+def tx_line_dedup(spark, sf):
+    from ..operators.corpus import remove_boilerplate_lines
+
+    planted = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("=== COMMON HEADER ===\n"),
+            F.col("text"),
+            F.lit("\nfooter of "),
+            F.col("source"),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(planted, min_docs=25).orderBy("doc_id")
+
+
+@q(
     "tx_quality_score",
     "text analysis: document quality scoring (length/punct/token bands)",
     r"""SELECT doc_id, round((
