@@ -356,3 +356,39 @@ def test_cli_mor_replay_and_compact(spark, tmp_path, capsys, monkeypatch):
         for r in t2.read().collect()
     }
     assert after == before
+
+
+def test_mor_streaming_ingest_matches_oracle(spark, tmp_path):
+    """Streaming is where MOR pays off (every micro-batch is a small
+    merge): pre-create the table with merge_mode=mor, drain the changelog
+    in multiple triggers — merges append logs, no bucket rewrites — and
+    the resolved state still equals the pandas replay oracle; compaction
+    then changes nothing."""
+    from vuln_datasync_spark.datagen import (
+        generate_changelog_pandas,
+        write_changelog,
+    )
+    from vuln_datasync_spark.streaming.pipeline import run_stream
+
+    from .test_cdc_e2e import CHANGELOG_SCHEMA, assert_state_matches
+
+    ev = generate_changelog_pandas(4000, seed=77)
+    log_dir = tmp_path / "log"
+    write_changelog(ev, str(log_dir), n_files=6)
+    ManifestTable.create(
+        spark, str(tmp_path / "table"), n_buckets=8, merge_mode="mor"
+    )
+    table = run_stream(
+        spark,
+        str(log_dir),
+        str(tmp_path / "table"),
+        str(tmp_path / "ckpt"),
+        CHANGELOG_SCHEMA,
+        max_files_per_trigger=2,
+    )
+    assert table.read_lineage().select("batch_id").distinct().count() == 3
+    assert any((table.manifest().get("logs") or {}).values())
+    assert_state_matches(table, ev)
+    table.compact_logs()
+    assert not any((table.manifest().get("logs") or {}).values())
+    assert_state_matches(table, ev)
