@@ -142,6 +142,20 @@ def cmd_stats(args) -> int:
 
     spark = _spark(args)
     table = ManifestTable(spark, args.table)
+    if args.fast:
+        # metadata-only: exact counts from manifest stats (count_rows
+        # falls back to a pruned scan only for logged/uncovered buckets)
+        out = {
+            "rows": table.count_rows(include_tombstones=True),
+            "live_rows": table.count_rows(),
+            "snapshots": len(table.snapshots()),
+        }
+        lineage = table.read_lineage()
+        out["batches_applied"] = (
+            lineage.select("checkpoint_id", "batch_id").distinct().count()
+        )
+        print(json.dumps(out, default=str))
+        return 0
     df = table.read(include_tombstones=True)
     # distinct-count the table's first key column (repo for the CDC
     # schema, vuln_id for advisory tables) — stats works on any keying
@@ -668,6 +682,18 @@ def cmd_sync_scd2(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    out = table.verify_table(
+        check_rows=args.rows, check_routing=args.routing
+    )
+    print(json.dumps(out, default=str))
+    return 0 if out["ok"] else 1
+
+
 def cmd_synth(args) -> int:
     from .datagen import generate_changelog_spark
 
@@ -750,7 +776,21 @@ def build_parser() -> argparse.ArgumentParser:
 
     st = sub.add_parser("stats", help="table + lineage summary")
     st.add_argument("--table", required=True)
+    st.add_argument("--fast", action="store_true",
+                    help="metadata-only counts from manifest stats "
+                    "(no table scan)")
     st.set_defaults(fn=cmd_stats)
+
+    fs = sub.add_parser(
+        "fsck", help="table integrity audit (files/chain/epochs; "
+        "--rows/--routing add one key-column scan)"
+    )
+    fs.add_argument("--table", required=True)
+    fs.add_argument("--rows", action="store_true",
+                    help="compare per-file parquet row counts vs manifest stats")
+    fs.add_argument("--routing", action="store_true",
+                    help="re-hash every key and confirm its bucket dir")
+    fs.set_defaults(fn=cmd_fsck)
 
     c = sub.add_parser("compact", help="expire snapshots / tombstones")
     c.add_argument("--table", required=True)

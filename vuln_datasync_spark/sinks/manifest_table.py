@@ -2602,6 +2602,165 @@ class ManifestTable:
             if rel not in live:
                 os.remove(f_)
 
+    def count_rows(
+        self, snapshot_id: str | None = None, include_tombstones: bool = False
+    ) -> int:
+        """Exact row count from manifest statistics alone whenever the
+        metadata supports it (the Iceberg/Delta aggregate-pushdown trick:
+        COUNT(*) answered from manifests, zero data I/O). A bucket is
+        stats-countable when it has no outstanding MOR logs (read-time
+        resolution can shadow rows, and MOR tombstone stats are an upper
+        bound) and every one of its files carries ``file_meta`` rows
+        (plus ``bucket_meta`` when tombstones must be subtracted).
+        Buckets failing those conditions fall back to ONE pruned scan of
+        just themselves. At 100 TB the common case — a compacted table —
+        is pure JSON arithmetic on the driver."""
+        m = self.manifest(snapshot_id)
+        if m is None:
+            return 0
+        fm = m.get("file_meta", {})
+        bm = m.get("bucket_meta", {})
+        logged = set(self._logged_buckets(m))
+        total = 0
+        fallback: set[int] = set(logged)
+        for b, paths in m["files"].items():
+            if int(b) in logged:
+                continue
+            if not all(p in fm for p in paths):
+                fallback.add(int(b))
+                continue
+            rows = sum(fm[p]["rows"] for p in paths)
+            if include_tombstones:
+                total += rows
+            elif b in bm:
+                total += rows - bm[b]["n_tombstones"]
+            else:
+                fallback.add(int(b))
+        if fallback:
+            total += self.read(
+                snapshot_id,
+                include_tombstones=include_tombstones,
+                buckets=sorted(fallback),
+            ).count()
+        return total
+
+    def verify_table(
+        self,
+        snapshot_id: str | None = None,
+        check_rows: bool = False,
+        check_routing: bool = False,
+    ) -> dict:
+        """Integrity audit (fsck; reference analog: the consistency
+        checks around sync recovery, /root/reference/internal/jobs/
+        server.go — here made a first-class verb). Metadata-only checks:
+
+        * every referenced base/log file exists on disk;
+        * every referenced file has zone-map stats (``uncovered_files``
+          — a warning: reads stay correct, pruning degrades);
+        * the snapshot chain resolves parent-by-parent to its root
+          (``broken_chain``) with no cycles;
+        * ``applied_epochs`` never regresses along the chain
+          (``epoch_regression``) — a regression would re-open an
+          exactly-once key.
+
+        ``check_rows`` / ``check_routing`` add ONE shared scan (key
+        columns only) that compares per-file parquet row counts against
+        ``file_meta`` (``row_mismatch`` — bit-rot / truncated copy
+        detection) and re-hashes every key through the table's own
+        ``bucket_expr`` to confirm it lives in the bucket directory it
+        was filed under (``misrouted`` — a wrong-modulus write would
+        make merges silently miss it). Returns ``{"ok": bool, ...}``;
+        scan cost ∝ table key columns, metadata cost ∝ manifest JSON."""
+        m = self.manifest(snapshot_id)
+        out: dict = {
+            "ok": True,
+            "missing_files": [],
+            "uncovered_files": [],
+            "broken_chain": [],
+            "epoch_regression": [],
+            "row_mismatch": [],
+            "misrouted": 0,
+            "files_checked": 0,
+        }
+        if m is None:
+            return out
+        fm = m.get("file_meta", {})
+        all_rels = sorted(
+            p
+            for paths in list(m["files"].values())
+            + list((m.get("logs") or {}).values())
+            for p in paths
+        )
+        out["files_checked"] = len(all_rels)
+        for rel in all_rels:
+            if not os.path.exists(os.path.join(self.root, rel)):
+                out["missing_files"].append(rel)
+            if rel not in fm:
+                out["uncovered_files"].append(rel)
+        # chain walk (snapshot ids embed millis; a cycle would revisit)
+        seen, cur = set(), m
+        while cur is not None and cur.get("parent"):
+            pid = cur["parent"]
+            if pid in seen:
+                out["broken_chain"].append(f"cycle at {pid}")
+                break
+            seen.add(pid)
+            pm = self._read_json(
+                os.path.join(self.root, "_manifests", f"{pid}.json")
+            )
+            if pm is None:
+                out["broken_chain"].append(pid)
+                break
+            if not set(pm.get("applied_epochs", ())) <= set(
+                cur.get("applied_epochs", ())
+            ):
+                # rollback commits revert epochs ON PURPOSE; flag only
+                # non-rollback commits
+                if not str(cur.get("epoch", "")).startswith("rollback:"):
+                    out["epoch_regression"].append(cur["snapshot_id"])
+            cur = pm
+        if (check_rows or check_routing) and all_rels and not out[
+            "missing_files"
+        ]:
+            schema = T.StructType.fromJson(m["schema"])
+            root_abs = os.path.abspath(self.root)
+            df = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, p) for p in all_rels]
+            )
+            nb = m.get("n_buckets", self.n_buckets)
+            bexpr = F.pmod(
+                F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(nb)
+            ).cast("int")
+            dir_bucket = F.regexp_extract(
+                F.input_file_name(), r"bucket=(\d+)", 1
+            ).cast("int")
+            rows = (
+                df.select(
+                    F.input_file_name().alias("_f"),
+                    (bexpr != dir_bucket).cast("int").alias("_bad"),
+                )
+                .groupBy("_f")
+                .agg(F.count("*").alias("_n"), F.sum("_bad").alias("_mis"))
+                .collect()
+            )
+            for r in rows:
+                path = re.sub(r"^file:/*", "/", r["_f"])
+                rel = os.path.relpath(path, root_abs)
+                if check_rows and rel in fm and fm[rel]["rows"] != r["_n"]:
+                    out["row_mismatch"].append(
+                        {"file": rel, "meta": fm[rel]["rows"], "actual": r["_n"]}
+                    )
+                if check_routing:
+                    out["misrouted"] += int(r["_mis"] or 0)
+        out["ok"] = not (
+            out["missing_files"]
+            or out["broken_chain"]
+            or out["epoch_regression"]
+            or out["row_mismatch"]
+            or out["misrouted"]
+        )
+        return out
+
     def remove_orphan_files(self, older_than_seconds: float = 3600) -> dict:
         """Delete data files referenced by NO manifest (Iceberg
         ``remove_orphan_files`` analog). Orphans come from crashed
