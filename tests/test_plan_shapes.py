@@ -115,3 +115,34 @@ def test_kmv_candidate_shuffle_not_proportional_to_rows(spark):
 def test_frequent_items_recount_is_semi_join(spark):
     plan = _plan(_BY_NAME["agg_frequent_items"].spark_fn(spark, SF))
     assert "LeftSemi" in plan, plan
+
+
+def test_mor_resolution_only_where_logs_exist(spark, tmp_path):
+    """The COW read path must not pay for merge-on-read: a table with no
+    outstanding logs plans a plain scan (no Window resolution operator),
+    while a logged MOR table plans exactly one per-key Window — and after
+    compact_logs the Window disappears again."""
+    from vuln_datasync_spark.sinks.manifest_table import ManifestTable
+    from vuln_datasync_spark.streaming.pipeline import apply_batch
+
+    from .test_cdc_e2e import CHANGELOG_SCHEMA
+    from vuln_datasync_spark.datagen import (
+        generate_changelog_pandas,
+        write_changelog,
+    )
+
+    ev = generate_changelog_pandas(1500, seed=61)
+    files = write_changelog(ev, str(tmp_path / "log"), n_files=2)
+    t = ManifestTable.create(
+        spark, str(tmp_path / "t"), n_buckets=4, merge_mode="mor"
+    )
+    for i, f in enumerate(files):
+        apply_batch(
+            spark.read.schema(CHANGELOG_SCHEMA).parquet(f), t, "ps", i
+        )
+    assert any((t.manifest().get("logs") or {}).values())
+    logged_plan = _plan(t.read())
+    assert "Window" in logged_plan  # read-time LWW resolution
+    t.compact_logs()
+    compacted_plan = _plan(t.read())
+    assert "Window" not in compacted_plan  # back to a plain pruned scan
