@@ -172,3 +172,94 @@ def test_cli_delete_where(spark, tmp_path, capsys, monkeypatch):
     out = json.loads(capsys.readouterr().out.strip())
     assert out["rows_deleted"] == 2
     assert table.read().count() == 3
+
+
+# ---------------------------------------------------------------- update
+
+
+def test_update_where_sets_columns_and_recomputes_sha(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    table = ManifestTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    _apply(
+        spark,
+        table,
+        _rows(range(1, 6), "fix") + _rows(range(21, 24), "keep"),
+        0,
+    )
+    before = {
+        (r["repo"], r["path"]): r
+        for r in table.read().collect()
+    }
+    rec = table.update_where(
+        "repo = 'fix'",
+        {"lang": F.lit("python3"), "content": "upper(content)"},
+    )
+    assert rec["rows_applied"] == 5
+    after = {(r["repo"], r["path"]): r for r in table.read().collect()}
+    for k, r in after.items():
+        b = before[k]
+        if k[0] == "fix":
+            assert r["lang"] == "python3"
+            assert r["content"] == b["content"].upper()
+            # hash invariant recomputed, commit_seq outranks the stored row
+            import hashlib
+
+            assert (
+                r["content_sha256"]
+                == hashlib.sha256(r["content"].encode()).hexdigest()
+            )
+            assert r["commit_seq"] == b["commit_seq"] + 1
+        else:
+            assert r == b  # untouched rows byte-identical
+
+    # change feed reports them as updates
+    snaps = table.snapshots()
+    feed = table.read_changes(snaps[0]["snapshot_id"])
+    assert {r["_change_type"] for r in feed.collect()} == {"update"}
+
+    # exactly-once: replaying the same epoch is a no-op
+    assert (
+        table.update_where("repo = 'fix'", {"lang": F.lit("x")}) is None
+    )
+
+    # a later genuine event still outranks the synthesized update
+    _apply(
+        spark,
+        table,
+        [(100, "update", "fix", "f1.py", "c100", "go", "v100", None, 1)],
+        1,
+    )
+    got = {
+        r["path"]: r["lang"]
+        for r in table.read().filter("repo = 'fix'").collect()
+    }
+    assert got["f1.py"] == "go" and got["f2.py"] == "python3"
+
+    with pytest.raises(ValueError, match="protected"):
+        table.update_where("repo='fix'", {"commit_seq": F.lit(0)})
+    with pytest.raises(ValueError, match="protected"):
+        table.update_where("repo='fix'", {"content_sha256": F.lit("x")})
+    with pytest.raises(ValueError, match="unknown column"):
+        table.update_where("repo='fix'", {"nope": F.lit(1)})
+
+
+def test_cli_update_where(spark, tmp_path, capsys, monkeypatch):
+    from vuln_datasync_spark import cli
+
+    monkeypatch.setattr(cli, "_spark", lambda args: spark)
+    table = ManifestTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    _apply(spark, table, _rows(range(1, 6), "fix"), 0)
+    assert cli.main([
+        "update-where", "--table", table.root,
+        "--predicate", "repo = 'fix' AND commit_seq <= 3",
+        "--set", "lang='rust'",
+        "--set", "size_bytes=size_bytes * 2",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["rows_updated"] == 3
+    rows = {r["path"]: r for r in table.read().collect()}
+    assert rows["f1.py"]["lang"] == "rust"
+    assert rows["f1.py"]["size_bytes"] == 2
+    assert rows["f4.py"]["lang"] == "py"

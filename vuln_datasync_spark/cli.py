@@ -565,6 +565,39 @@ def cmd_delete_where(args) -> int:
     return 0
 
 
+def cmd_update_where(args) -> int:
+    """Predicate UPDATE routed through MERGE as update events (backfill
+    fixes — change feed and index syncs observe it like CDC)."""
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    sets = {}
+    for kv in args.set:
+        if "=" not in kv:
+            raise SystemExit(f"--set expects COL=SQL_EXPR, got {kv!r}")
+        c, expr = kv.split("=", 1)
+        sets[c.strip()] = expr
+    rec = table.update_where(
+        args.predicate,
+        sets,
+        checkpoint_id=args.checkpoint_id,
+        batch_id=args.batch_id,
+        range_filters=_parse_where(args.where) or None,
+    )
+    print(
+        json.dumps(
+            {"status": "replayed-epoch"}
+            if rec is None
+            else {
+                "rows_updated": rec["rows_applied"],
+                "snapshot_id": rec["snapshot_id"],
+            }
+        )
+    )
+    return 0
+
+
 def cmd_cluster(args) -> int:
     """Sort-within-bucket rewrite (OPTIMIZE-lite): orders each hash
     bucket by --by and splits it into --target-file-rows files so zone
@@ -990,6 +1023,31 @@ def build_parser() -> argparse.ArgumentParser:
     dw.add_argument("--checkpoint-id", default="delete-where")
     dw.add_argument("--batch-id", type=int, default=0)
     dw.set_defaults(fn=cmd_delete_where)
+
+    uw = sub.add_parser(
+        "update-where", help="predicate update as CDC update events"
+    )
+    uw.add_argument("--table", required=True)
+    uw.add_argument(
+        "--predicate", required=True, help="SQL condition, e.g. \"repo = 'x'\""
+    )
+    uw.add_argument(
+        "--set",
+        action="append",
+        required=True,
+        metavar="COL=SQL_EXPR",
+        help="target column and SQL expression (repeatable)",
+    )
+    uw.add_argument(
+        "--where",
+        action="append",
+        default=[],
+        metavar="COL=LO..HI",
+        help="optional zone-map scan scope",
+    )
+    uw.add_argument("--checkpoint-id", default="update-where")
+    uw.add_argument("--batch-id", type=int, default=0)
+    uw.set_defaults(fn=cmd_update_where)
 
     cl = sub.add_parser(
         "cluster", help="sort-within-bucket rewrite for read locality"

@@ -1593,6 +1593,64 @@ class ManifestTable:
         )
         return self.merge(ev, checkpoint_id=checkpoint_id, batch_id=batch_id)
 
+    def update_where(
+        self,
+        condition,
+        assignments: dict,
+        checkpoint_id: str = "update-where",
+        batch_id: int = 0,
+        range_filters: dict | None = None,
+    ) -> dict | None:
+        """Predicate UPDATE (the reference's update sink S13,
+        `sql/vulnerabilities.sql:46-64`, as a table verb — completing
+        the DML set next to ``merge`` and ``delete_where``): for every
+        LIVE row matching ``condition``, apply the ``assignments``
+        column expressions (``{col: Column | SQL string}``), synthesize
+        an update event outranking the stored row (its own
+        ``commit_seq + 1``), and route it through the normal MERGE —
+        exactly-once epochs, lineage, the change feed, and feed-driven
+        index syncs all observe it as ordinary CDC.
+
+        Key / order / invariant columns cannot be set; when the table
+        carries ``content_sha256`` and ``content`` is updated, the hash
+        invariant is recomputed automatically. ``range_filters`` scopes
+        the scan with zone-map file skipping, so a time- or id-ranged
+        backfill-fix reads only the overlapping files. A later genuine
+        event with a higher commit_seq still wins over the synthesized
+        update. Returns the merge lineage (rows_applied = rows updated),
+        or None if this epoch already committed."""
+        m = self.manifest()
+        if m is None:
+            return None
+        # content IS updatable (the payload); its hash is derived, never set
+        protected = (set(self._protected_cols()) | {"op", "commit"}) - {
+            "content"
+        }
+        schema_cols = {f.name for f in T.StructType.fromJson(m["schema"])}
+        for c in assignments:
+            if c in protected:
+                raise ValueError(f"update_where: column {c!r} is protected")
+            if c not in schema_cols:
+                raise ValueError(f"update_where: unknown column {c!r}")
+        matched = self.read(range_filters=range_filters).filter(condition)
+        out = matched
+        for c, expr in assignments.items():
+            out = out.withColumn(
+                c, F.expr(expr) if isinstance(expr, str) else expr
+            )
+        if "content" in assignments and "content_sha256" in schema_cols:
+            from ..functions.hashing import content_sha256
+
+            out = out.withColumn(
+                "content_sha256", content_sha256(F.col("content"))
+            )
+        out = out.withColumn(
+            "commit_seq", F.col("commit_seq") + F.lit(1)
+        ).withColumn("op", F.lit("update"))
+        return self.merge(
+            out, checkpoint_id=checkpoint_id, batch_id=batch_id
+        )
+
     def _zone_cols(self, df: DataFrame) -> list[T.StructField]:
         """Columns eligible for per-file zone-map stats: every numeric /
         timestamp / date column, plus STRING columns only when they are
