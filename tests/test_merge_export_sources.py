@@ -478,3 +478,86 @@ def test_export_run_tracking(spark, tmp_path, capsys, monkeypatch):
     res = table.compact_exports(max_files=1)
     assert res["compacted"] == 2 and res["files_after"] == 1
     assert table.read_exports().count() == 2
+
+
+def test_export_incremental_delta_then_noop_then_expired_base(
+    spark, tmp_path
+):
+    """export_incremental ships only the change feed since the last
+    export; a no-change call records rows=0; an expired base falls back
+    to a full export (mode recorded)."""
+    from vuln_datasync_spark.sinks.export import (
+        export_incremental,
+        export_table,
+    )
+    from vuln_datasync_spark.sinks.manifest_table import ManifestTable
+    from vuln_datasync_spark.streaming.pipeline import apply_batch
+
+    from .test_cdc_e2e import CHANGELOG_SCHEMA
+
+    def _ev(seq, op, path, content):
+        return (seq, op, "r1", path, f"c{seq}", "py", content, None, None)
+
+    t = ManifestTable.create(spark, str(tmp_path / "t"), n_buckets=4)
+    apply_batch(
+        spark.createDataFrame(
+            [_ev(1, "insert", "a.py", "v1"), _ev(2, "insert", "b.py", "v2")],
+            CHANGELOG_SCHEMA,
+        ),
+        t, "exp", 0,
+    )
+    full = export_table(t, str(tmp_path / "e0"))
+    assert full["mode"] == "full" and full["rows"] == 2
+
+    apply_batch(
+        spark.createDataFrame(
+            [_ev(3, "update", "a.py", "v3"), _ev(4, "delete", "b.py", None)],
+            CHANGELOG_SCHEMA,
+        ),
+        t, "exp", 1,
+    )
+    inc = export_incremental(t, str(tmp_path / "e1"))
+    assert inc["mode"] == "incremental" and inc["rows"] == 2
+    assert inc["base_snapshot_id"] == full["snapshot_id"]
+    feed = {
+        (r["path"], r["_change_type"])
+        for r in spark.read.json(str(tmp_path / "e1")).collect()
+    }
+    assert feed == {("a.py", "update"), ("b.py", "delete")}
+
+    # nothing changed since -> empty incremental, recorded anyway
+    noop = export_incremental(t, str(tmp_path / "e2"))
+    assert noop["mode"] == "incremental" and noop["rows"] == 0
+
+    # expire the base snapshot out from under the next incremental
+    for mp in __import__("glob").glob(
+        str(tmp_path / "t" / "_manifests" / "*.json")
+    ):
+        if noop["snapshot_id"] not in mp and t.current_snapshot_id() not in mp:
+            import os as _os
+
+            if _os.path.basename(mp)[:-5] != t.current_snapshot_id():
+                _os.remove(mp)
+    apply_batch(
+        spark.createDataFrame(
+            [_ev(5, "insert", "c.py", "v5")], CHANGELOG_SCHEMA
+        ),
+        t, "exp", 2,
+    )
+    # drop the recorded base manifest specifically
+    base_mp = str(
+        tmp_path / "t" / "_manifests" / f"{noop['snapshot_id']}.json"
+    )
+    import os as _os
+
+    if _os.path.exists(base_mp):
+        _os.remove(base_mp)
+    fb = export_incremental(t, str(tmp_path / "e3"))
+    assert fb["mode"] == "full" and fb["rows"] == 2  # a.py + c.py live
+
+    # sidecar compaction must not re-infer types for the nullable
+    # string columns (mode/base_snapshot_id absent or null in old rows)
+    t.compact_exports(max_files=1)
+    ex = t.read_exports()
+    assert ex.count() == 4
+    assert ex.filter("mode = 'incremental'").count() == 2

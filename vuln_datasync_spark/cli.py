@@ -91,15 +91,22 @@ def cmd_stream(args) -> int:
 
 
 def cmd_export(args) -> int:
-    from .sinks.export import export_table
+    from .sinks.export import export_incremental, export_table
     from .sinks.manifest_table import ManifestTable
 
     spark = _spark(args)
     table = ManifestTable(spark, args.table)
-    rec = export_table(
-        table, args.out, fmt=args.format, compression=args.compress,
-        snapshot_id=args.snapshot,
-    )
+    if args.incremental:
+        if args.snapshot:
+            raise SystemExit("--incremental and --snapshot are exclusive")
+        rec = export_incremental(
+            table, args.out, fmt=args.format, compression=args.compress
+        )
+    else:
+        rec = export_table(
+            table, args.out, fmt=args.format, compression=args.compress,
+            snapshot_id=args.snapshot,
+        )
     print(json.dumps(rec))
     return 0
 
@@ -779,6 +786,10 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--format", default="json", choices=["json", "csv"])
     e.add_argument("--compress", action="store_true")
     e.add_argument("--snapshot", default=None)
+    e.add_argument("--incremental", action="store_true",
+                   help="export only the change feed since the last "
+                   "recorded export (falls back to full when no prior "
+                   "export or its base snapshot expired)")
     e.set_defaults(fn=cmd_export)
 
     ch = sub.add_parser(

@@ -68,7 +68,7 @@ LINEAGE_DDL = (
 EXPORT_DDL = (
     "export_id string, format string, compression boolean, rows long, "
     "file_bytes long, snapshot_id string, path string, status string, "
-    "exported_at string"
+    "exported_at string, mode string, base_snapshot_id string"
 )
 META_COLS = ("is_deleted",)
 
@@ -1927,6 +1927,7 @@ class ManifestTable:
         dedup_subset: list[str],
         sort_keys: list[str],
         max_files: int,
+        string_cols: tuple[str, ...] = (),
     ) -> dict:
         import pandas as pd
 
@@ -1940,6 +1941,11 @@ class ManifestTable:
         merged = merged.drop_duplicates(subset=dedup_subset).sort_values(
             sort_keys
         )
+        for c in string_cols:
+            # an all-null string column (or one absent from older files)
+            # must not let pyarrow re-infer a non-string physical type
+            if c in merged.columns:
+                merged[c] = merged[c].astype("string")
         out = os.path.join(
             ldir, f"compacted-{int(time.time() * 1000):013d}.parquet"
         )
@@ -1979,9 +1985,19 @@ class ManifestTable:
             "status": record.get("status", "completed"),
             "exported_at": record.get("exported_at")
             or time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "mode": record.get("mode", "full"),
+            "base_snapshot_id": record.get("base_snapshot_id"),
         }
         out = os.path.join(edir, f"{export_id}.parquet")
-        pd.DataFrame([row]).to_parquet(out + ".tmp", index=False)
+        pdf = pd.DataFrame([row])
+        # all-None columns (base_snapshot_id on a full export) must not
+        # let pyarrow infer a non-string physical type
+        for c in (
+            "export_id", "format", "snapshot_id", "path", "status",
+            "exported_at", "mode", "base_snapshot_id",
+        ):
+            pdf[c] = pdf[c].astype("string")
+        pdf.to_parquet(out + ".tmp", index=False)
         os.replace(out + ".tmp", out)
         return row
 
@@ -2063,7 +2079,11 @@ class ManifestTable:
             return self.spark.createDataFrame(
                 [], T.StructType.fromDDL(EXPORT_DDL)
             )
-        return self.spark.read.parquet(edir)
+        # explicit schema: rows written before a column existed (e.g.
+        # mode/base_snapshot_id) clip to null instead of breaking the union
+        return self.spark.read.schema(
+            T.StructType.fromDDL(EXPORT_DDL)
+        ).parquet(edir)
 
     def compact_exports(self, max_files: int = 64) -> dict:
         return self._compact_small_files(
@@ -2071,6 +2091,10 @@ class ManifestTable:
             dedup_subset=["export_id"],
             sort_keys=["export_id"],
             max_files=max_files,
+            string_cols=(
+                "export_id", "format", "snapshot_id", "path", "status",
+                "exported_at", "mode", "base_snapshot_id",
+            ),
         )
 
     def expire_lineage(self, older_than: str) -> dict:
