@@ -121,10 +121,18 @@ def _data_hash() -> F.Column:
 
 
 def create_vuln_table(
-    spark: SparkSession, root: str, n_buckets: int = 16
+    spark: SparkSession,
+    root: str,
+    n_buckets: int = 16,
+    merge_mode: str = "cow",
 ) -> ManifestTable:
+    """``merge_mode="mor"`` makes every sync run append per-bucket log
+    deltas instead of rewriting touched buckets (see ManifestTable.create)
+    — the right trade when syncs are frequent and small relative to the
+    store; fold with ``compact_logs()`` in maintenance windows."""
     return ManifestTable.create(
-        spark, root, n_buckets=n_buckets, key_cols=VULN_KEY
+        spark, root, n_buckets=n_buckets, key_cols=VULN_KEY,
+        merge_mode=merge_mode,
     )
 
 
