@@ -3866,9 +3866,12 @@ _DRIVER_PRIORITY = [
     "prof_column_stats",
     "agg_rollup_hierarchy",
     "w3_lead_lag_gaps",
-    # load-bearing keepers (driver-attested in r02+r03; stay in the window)
-    "q1_tpch_pricing_summary",
+    "tx_line_dedup",
+    # load-bearing keeper (driver-attested in r02+r03; stays in the window)
     "m2_cdc_lww_tombstones",
+    # q1_tpch_pricing_summary rotated out for tx_line_dedup: q1 keeps
+    # coverage via the driver's entry() smoke, judge parity, and its
+    # r02+r03 rows.
     # mm_extract_features, j4_hash_dedup_antijoin, mg_coalesce_fields,
     # dd_ngram_jaccard, sim_embedding_neardup, j2_broadcast_dim_join,
     # m1_lww_last_event_per_user, mg_priority_merge and
