@@ -364,3 +364,61 @@ def test_remove_boilerplate_lines_planted(spark):
         for r in remove_boilerplate_lines(docs2, min_docs=5).collect()
     }
     assert got[1] == "z last\na first\nz last2"  # nothing removed, order kept
+
+
+def test_source_quota_sample_caps_and_stability(spark):
+    from vuln_datasync_spark.operators.corpus import source_quota_sample
+
+    d = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("source"),
+    )
+    out = source_quota_sample(d, "source", "doc_id", quota=7)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    assert all(v == 7 for v in per.values()) and len(per) == 5
+    # deterministic across invocations
+    ids1 = sorted(r["doc_id"] for r in rows)
+    ids2 = sorted(
+        r["doc_id"]
+        for r in source_quota_sample(d, "source", "doc_id", quota=7).collect()
+    )
+    assert ids1 == ids2
+    # a group smaller than the quota survives whole
+    small = d.filter((F.col("source") != "0") | (F.col("doc_id") < 15))
+    kept0 = (
+        source_quota_sample(small, "source", "doc_id", quota=7)
+        .filter(F.col("source") == "0")
+        .count()
+    )
+    assert kept0 == 3  # ids 0,5,10
+    with pytest.raises(ValueError):
+        source_quota_sample(d, "source", "doc_id", quota=0)
+
+
+def test_unigram_quality_known_values(spark):
+    from vuln_datasync_spark.operators.corpus import unigram_quality
+
+    d = spark.createDataFrame(
+        [
+            (1, "the the cat"),
+            (2, "the dog"),
+            (3, "zyx qwv"),
+        ],
+        ["doc_id", "text"],
+    )
+    # corpus counts: the=3, cat=1, dog=1, zyx=1, qwv=1; top-2 vocab by
+    # (count desc, term) = {the, cat}
+    out = {
+        r["doc_id"]: r
+        for r in unigram_quality(d, "text", "doc_id", vocab_top_k=2).collect()
+    }
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["avg_token_freq"] == (3 + 3 + 1) / 3
+    assert out[1]["common_frac"] == 1.0
+    assert out[2]["avg_token_freq"] == (3 + 1) / 2
+    assert out[2]["common_frac"] == 0.5
+    assert out[3]["avg_token_freq"] == 1.0
+    assert out[3]["common_frac"] == 0.0

@@ -822,3 +822,102 @@ def remove_boilerplate_lines(
             .alias("n_removed"),
         )
     )
+
+
+def source_quota_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    quota: int,
+    salt: str = "v1",
+) -> DataFrame:
+    """Cap every group (domain / source / language) at ``quota`` rows,
+    chosen deterministically — the per-domain quota pass web-corpus
+    pipelines run so one crawled host cannot dominate the training mix
+    (C4 caps URLs per domain the same way).
+
+    Selection order inside a group is md5(id || salt): uniform, stable
+    under data growth for the rows it keeps or evicts near the boundary
+    only (a new row displaces at most one old row), engine-portable, and
+    reproducible — unlike ``ORDER BY random()``. Plan: one shuffle on
+    ``group_col`` + a bounded per-group window. Hot groups are bounded by
+    the window's streaming evaluation (row_number needs no buffer beyond
+    the frame row); a group with billions of rows still sorts within its
+    partition, so for pathological skew pre-filter with
+    ``stratified_sample`` to a few× quota first, then apply the exact cap.
+    """
+    from pyspark.sql import Window
+
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+            id_col,
+        )
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .drop("_rn")
+    )
+
+
+def unigram_quality(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    vocab_top_k: int = 1000,
+) -> DataFrame:
+    """Corpus-frequency quality signals per document — the engine-portable
+    core of a CCNet-style LM quality filter. For every document:
+
+    * ``n_tokens``       — whitespace token count (BIGINT, exact)
+    * ``avg_token_freq`` — mean corpus frequency of the document's tokens
+      (sum of each token's corpus count / n_tokens). Gibberish and
+      boilerplate-free natural text separate cleanly on this axis.
+    * ``common_frac``    — fraction of tokens inside the corpus's
+      ``vocab_top_k`` most frequent terms (ties at the boundary broken by
+      term text, so the vocabulary is a total order in any engine).
+
+    Both ratios are one IEEE division of two exactly-computed integers, so
+    results are bit-identical across engines — no ``ln()`` in sight (a
+    true perplexity needs an LM; these are the distribution-shape signals
+    that correlate with it and stay value-checkable).
+
+    Plan at 100 TB: tokenize/explode (no shuffle), one vocabulary-keyed
+    count agg with map-side combine, a ``TakeOrdered`` top-k for the
+    vocabulary (never a global sort), a broadcast of the k vocab terms,
+    and one doc-keyed agg. Shuffles ∝ vocabulary + documents, never
+    pairwise.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    cnt = toks.groupBy("term").agg(F.count("*").alias("_c"))
+    vocab = (
+        cnt.orderBy(F.col("_c").desc(), "term")
+        .limit(vocab_top_k)
+        .select("term", F.lit(1).alias("_v"))
+    )
+    scored = (
+        toks.join(cnt, "term")
+        .join(F.broadcast(vocab), "term", "left")
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        (
+            F.sum("_c").cast("double") / F.count("*").cast("double")
+        ).alias("avg_token_freq"),
+        (
+            F.sum(F.coalesce(F.col("_v"), F.lit(0))).cast("double")
+            / F.count("*").cast("double")
+        ).alias("common_frac"),
+    )

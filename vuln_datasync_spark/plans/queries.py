@@ -3803,6 +3803,71 @@ def w3_lead_lag(spark, sf):
     )
 
 
+@q(
+    "samp_source_quota",
+    "corpus prep: deterministic per-domain quota cap — at most k docs per "
+    "source, chosen by md5(id||salt) so one crawled host cannot dominate "
+    "the mix and reruns/engines agree (operators/corpus.py "
+    "source_quota_sample; C4's per-domain URL cap)",
+    """WITH r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || 'v1'), doc_id
+                 ) AS rn
+          FROM documents)
+        SELECT doc_id, source FROM r WHERE rn <= 12 ORDER BY doc_id""",
+    note="selection order is md5(id||salt) with an id tiebreak — a total "
+    "order, so the kept set is identical in any engine; ORDER BY random() "
+    "would not be checkable at all",
+)
+def samp_quota(spark, sf):
+    from ..operators.corpus import source_quota_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    return source_quota_sample(d, "source", "doc_id", quota=12).orderBy(
+        "doc_id"
+    )
+
+
+@q(
+    "tx_unigram_quality",
+    "corpus prep: CCNet-style corpus-frequency quality signals per doc — "
+    "mean corpus token frequency + top-k-vocabulary coverage "
+    "(operators/corpus.py unigram_quality; tokenize/explode, one "
+    "vocabulary agg, TakeOrdered vocab, broadcast, one doc agg)",
+    r"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        toks AS (
+          SELECT doc_id, t AS term
+          FROM d, unnest(string_split_regex(lower(text), '\s+')) AS u(t)
+          WHERE t <> ''
+        ),
+        cnt AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS c
+          FROM toks GROUP BY 1
+        ),
+        vocab AS (SELECT term FROM cnt ORDER BY c DESC, term LIMIT 50)
+        SELECT toks.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS avg_token_freq,
+               CAST(sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS common_frac
+        FROM toks JOIN cnt USING (term) LEFT JOIN vocab v USING (term)
+        GROUP BY toks.doc_id ORDER BY toks.doc_id""",
+    note="no ln() anywhere: both ratios are one IEEE division of exactly "
+    "computed integers, so the doubles are bit-identical across engines; "
+    "the vocabulary boundary is tie-broken by term text (total order)",
+)
+def tx_unigram(spark, sf):
+    from ..operators.corpus import unigram_quality
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return unigram_quality(d, "text", "doc_id", vocab_top_k=50).orderBy(
+        "doc_id"
+    )
+
+
 # The driver's correctness artifact records AT MOST the FIRST 50 entries of
 # queries() in iteration order (proven empirically: CORRECTNESS_r01 had 45 =
 # the whole catalog then; r02 and r03 both contain exactly the first 50
