@@ -146,3 +146,39 @@ def test_mor_resolution_only_where_logs_exist(spark, tmp_path):
     t.compact_logs()
     compacted_plan = _plan(t.read())
     assert "Window" not in compacted_plan  # back to a plain pruned scan
+
+
+def test_bucketed_join_elides_both_exchanges(spark, tmp_path):
+    """Two tables written with save_bucketed on the same key and bucket
+    count must join with NO Exchange on either side — the co-located
+    big-big join the 100 TB design leans on (a shuffle here would move
+    both full tables across the network)."""
+    from vuln_datasync_spark.sinks.warehouse import (
+        bucketed_join,
+        save_bucketed,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    facts = docs.select("doc_id", "n_chars")
+    dims = docs.select("doc_id", "lang", "source")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS _psb_facts")
+    spark.sql("DROP TABLE IF EXISTS _psb_dims")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        save_bucketed(facts, "_psb_facts", "doc_id", 8, sort_cols="doc_id")
+        save_bucketed(dims, "_psb_dims", "doc_id", 8, sort_cols="doc_id")
+        joined = bucketed_join(spark, "_psb_facts", "_psb_dims", "doc_id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # and the result is still correct
+        assert joined.count() == docs.count()
+        # the non-bucketed control DOES shuffle — proves the assertion
+        # above is load-bearing, not vacuous
+        control = facts.join(dims, "doc_id")
+        assert "Exchange" in _plan(control)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS _psb_facts")
+        spark.sql("DROP TABLE IF EXISTS _psb_dims")
