@@ -3868,6 +3868,40 @@ def tx_unigram(spark, sf):
     )
 
 
+@q(
+    "decon_index_search",
+    "decontamination / takedown probe: PERSISTED inverted token index — "
+    "AND-of-terms candidates from md5-prefix-pruned posting-list "
+    "partitions, exact-substring recheck on the broadcast candidates "
+    "(operators/token_index.py build/search_token_index); the corpus is "
+    "never scanned for the search",
+    """SELECT doc_id AS id FROM documents
+        WHERE contains(lower(text), 'hash join')
+          AND list_has_all(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                           ['hash', 'join'])
+        ORDER BY doc_id""",
+    note="the oracle states the engine's exact semantics (token "
+    "containment AND verbatim lowercase substring), so index recall "
+    "bugs — a posting list missing a doc — fail on row count",
+)
+def decon_index(spark, sf):
+    import hashlib as _h
+    import os as _os
+
+    from ..operators.token_index import build_token_index, search_token_index
+
+    d = _t(spark, sf, "documents")
+    idx = _os.path.join(
+        "/tmp",
+        "vds_tok_index_" + _h.sha256(sf.encode()).hexdigest()[:12],
+    )
+    if not _os.path.exists(_os.path.join(idx, "_SUCCESS")):
+        build_token_index(d, "text", "doc_id", idx)
+    return search_token_index(
+        spark, idx, "hash join", docs=d, text_col="text", id_col="doc_id"
+    ).orderBy("id")
+
+
 # The driver's correctness artifact records AT MOST the FIRST 50 entries of
 # queries() in iteration order (proven empirically: CORRECTNESS_r01 had 45 =
 # the whole catalog then; r02 and r03 both contain exactly the first 50
