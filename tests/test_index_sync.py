@@ -203,3 +203,102 @@ def test_sync_minhash_index_content_update_and_takedown(spark, tmp_path):
 
     # current -> None
     assert sync_minhash_index(table, idx, "text") is None
+
+
+def test_sync_token_index_update_delete_equals_rebuild(spark, tmp_path):
+    from vuln_datasync_spark.operators.token_index import (
+        build_token_index,
+        search_token_index,
+    )
+    from vuln_datasync_spark.pipelines.index_sync import sync_token_index
+
+    D_SCHEMA = (
+        "doc_id long, commit_seq long, commit string, op string, text string"
+    )
+    table = ManifestTable.create(
+        spark, str(tmp_path / "tt"), n_buckets=4, key_cols=("doc_id",)
+    )
+    idx = str(tmp_path / "tidx")
+
+    table.merge(
+        spark.createDataFrame(
+            [
+                (1, 1, "c1", "insert", "alpha beta gamma"),
+                (2, 2, "c2", "insert", "beta delta"),
+                (3, 3, "c3", "insert", "epsilon zeta"),
+            ],
+            D_SCHEMA,
+        ),
+        "ti", 0,
+    )
+    rec = sync_token_index(table, idx, "text")
+    assert rec["bootstrap"] is True
+
+    def found(phrase):
+        return sorted(
+            r["id"] for r in search_token_index(spark, idx, phrase).collect()
+        )
+
+    assert found("beta") == [1, 2]
+
+    # content-changing update: doc 1 loses 'beta' — preimage clears it
+    table.merge(
+        spark.createDataFrame(
+            [(1, 10, "c10", "update", "omega psi")], D_SCHEMA
+        ),
+        "ti", 1,
+    )
+    rec2 = sync_token_index(table, idx, "text")
+    assert rec2["partitions_rewritten"] >= 1
+    assert found("beta") == [2]
+    assert found("omega") == [1]
+
+    # takedown delete
+    table.merge(
+        spark.createDataFrame([(2, 11, "c11", "delete", None)], D_SCHEMA),
+        "ti", 2,
+    )
+    sync_token_index(table, idx, "text")
+    assert found("beta") == []
+
+    # equals a fresh rebuild of the live table
+    fresh = str(tmp_path / "tfresh")
+    build_token_index(table.read(), "text", "doc_id", fresh)
+
+    def rows(path):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .select("term", "id", "tf", "pfx")
+            .collect()
+        )
+
+    assert rows(idx) == rows(fresh)
+    assert sync_token_index(table, idx, "text") is None
+
+
+def test_cli_sync_token(spark, tmp_path, capsys, monkeypatch):
+    import json
+
+    from vuln_datasync_spark import cli
+
+    monkeypatch.setattr(cli, "_spark", lambda args: spark)
+    tbl = str(tmp_path / "dt")
+    table = ManifestTable.create(spark, tbl, n_buckets=4, key_cols=("doc_id",))
+    table.merge(
+        spark.createDataFrame(
+            [(1, 1, "c1", "insert", "alpha beta")],
+            "doc_id long, commit_seq long, commit string, op string, "
+            "text string",
+        ),
+        "ct", 0,
+    )
+    idx = str(tmp_path / "idx")
+    argv = [
+        "sync-token", "--table", tbl, "--index", idx, "--text-col", "text",
+    ]
+    assert cli.main(argv) == 0
+    rec = json.loads(capsys.readouterr().out.strip())
+    assert rec.get("bootstrap") is True
+    assert cli.main(argv) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == {"status": "current"}

@@ -341,6 +341,26 @@ def cmd_sync_alias(args) -> int:
     return 0
 
 
+def cmd_sync_token(args) -> int:
+    """Advance the inverted token index (search / decontamination
+    probes) to the table's current snapshot via the preimage change
+    feed: content changes clear stale postings, deletes clear all."""
+    from .pipelines.index_sync import sync_token_index
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    rec = sync_token_index(
+        table,
+        args.index,
+        args.text_col,
+        consumer_id=args.consumer,
+        reset_on_missing_base=args.reset_on_missing_base,
+    )
+    print(json.dumps(rec or {"status": "current"}))
+    return 0
+
+
 def cmd_lookup(args) -> int:
     """Point lookup by key or alias, printed as JSON lines. Keys read
     only their hash buckets; aliases probe the inverted index first
@@ -914,6 +934,16 @@ def build_parser() -> argparse.ArgumentParser:
     sal.add_argument("--consumer", default="alias-index")
     sal.add_argument("--reset-on-missing-base", action="store_true")
     sal.set_defaults(fn=cmd_sync_alias)
+
+    stk = sub.add_parser(
+        "sync-token", help="advance the token index via the change feed"
+    )
+    stk.add_argument("--table", required=True)
+    stk.add_argument("--index", required=True)
+    stk.add_argument("--text-col", default="content")
+    stk.add_argument("--consumer", default="token-index")
+    stk.add_argument("--reset-on-missing-base", action="store_true")
+    stk.set_defaults(fn=cmd_sync_token)
 
     lk = sub.add_parser(
         "lookup", help="point lookup by key (or --alias via the index)"

@@ -230,3 +230,63 @@ def sync_alias_index(
         "sync_alias_index advanced to %s: %s", rec["snapshot_id"], stats
     )
     return rec
+
+
+def sync_token_index(
+    table: ManifestTable,
+    index_path: str,
+    text_col: str,
+    consumer_id: str = "token-index",
+    reset_on_missing_base: bool = False,
+) -> dict | None:
+    """Keep the inverted token index current with a document table's
+    change feed — the retrieval/decontamination analog of
+    :func:`sync_minhash_index`. Update preimages carry the old text, so
+    a content-changing update clears the id's postings under terms it no
+    longer contains (their partitions join the touched set); deletes
+    clear all of an id's postings the same way. At-least-once feed
+    delivery + idempotent partition-scoped rewrite = safe replay."""
+    import glob as _glob
+
+    from ..operators.token_index import build_token_index, upsert_token_index
+
+    if len(table.key_cols) != 1:
+        raise ValueError(
+            "sync_token_index needs a single-key table (the doc id); "
+            f"got key_cols={table.key_cols}"
+        )
+    id_col = table.key_cols[0]
+    stats: dict = {}
+
+    def handler(_feed, frm, to):
+        feed = table.read_changes(frm, to, include_preimage=True)
+        new_rows = feed.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(id_col, text_col)
+        have_index = bool(_glob.glob(f"{index_path}/pfx=*"))
+        if frm is None or not have_index:
+            build_token_index(new_rows, text_col, id_col, index_path)
+            stats["bootstrap"] = True
+            return
+        old_rows = feed.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select(id_col, text_col)
+        stats["partitions_rewritten"] = upsert_token_index(
+            table.spark,
+            index_path,
+            new_rows,
+            text_col,
+            id_col,
+            old_docs=old_rows,
+        )
+
+    rec = table.consume_changes(
+        consumer_id, handler, reset_on_missing_base=reset_on_missing_base
+    )
+    if rec is None:
+        return None
+    rec.update(stats)
+    logger.info(
+        "sync_token_index advanced to %s: %s", rec["snapshot_id"], stats
+    )
+    return rec
