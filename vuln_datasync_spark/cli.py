@@ -361,6 +361,30 @@ def cmd_sync_token(args) -> int:
     return 0
 
 
+def cmd_validate(args) -> int:
+    """Run declarative data-contract rules against a table and print the
+    violation report as JSON lines (``--strict`` exits 1 on any
+    violation — the CI-gate form). ``ref`` rules are library-only (they
+    need a second DataFrame); the CLI covers the row-level and
+    uniqueness kinds."""
+    from .operators.quality_rules import validate_rules
+    from .sinks.manifest_table import ManifestTable
+
+    with open(args.rules) as fh:
+        rules = json.load(fh)
+    if any(r.get("kind") == "ref" for r in rules):
+        print("ref rules need the library API (second table)", file=sys.stderr)
+        return 2
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    rows = validate_rules(table.read(), rules).collect()
+    bad = 0
+    for r in rows:
+        print(json.dumps(r.asDict()))
+        bad += int(r["violations"] > 0)
+    return 1 if (args.strict and bad) else 0
+
+
 def cmd_lookup(args) -> int:
     """Point lookup by key or alias, printed as JSON lines. Keys read
     only their hash buckets; aliases probe the inverted index first
@@ -1028,6 +1052,20 @@ def build_parser() -> argparse.ArgumentParser:
         "--publish", metavar="NAME", help="fast-forward main to NAME's head"
     )
     br.set_defaults(fn=cmd_branch)
+
+    dq = sub.add_parser(
+        "validate", help="data-contract checks with a violation report"
+    )
+    dq.add_argument("--table", required=True)
+    dq.add_argument(
+        "--rules", required=True, help="JSON file: list of rule dicts"
+    )
+    dq.add_argument(
+        "--strict",
+        action="store_true",
+        help="exit 1 when any rule has violations",
+    )
+    dq.set_defaults(fn=cmd_validate)
 
     vc = sub.add_parser("vacuum", help="delete orphan data files")
     vc.add_argument("--table", required=True)

@@ -3902,6 +3902,71 @@ def decon_index(spark, sf):
     ).orderBy("id")
 
 
+@q(
+    "dq_validate_report",
+    "ops / data contracts: declarative constraint validation with an "
+    "exact violation report — not_null / enum domain / range / regex in "
+    "ONE aggregate pass, uniqueness via count-distinct, referential "
+    "integrity via anti-join (operators/quality_rules.py validate_rules; "
+    "reference analog: internal/validator/validator.go field checks)",
+    """SELECT 'uid_not_null' AS rule, 'not_null' AS kind, 'user_id' AS col,
+              CAST(count(*) FILTER (user_id IS NULL) AS BIGINT)
+                  AS violations,
+              CAST(count(*) AS BIGINT) AS checked FROM events
+       UNION ALL
+       SELECT 'etype_domain', 'in_set', 'event_type',
+              CAST(count(*) FILTER (event_type IS NOT NULL AND
+                   event_type NOT IN ('view','click','purchase','signup'))
+                   AS BIGINT),
+              CAST(count(*) AS BIGINT) FROM events
+       UNION ALL
+       SELECT 'value_range', 'range', 'value',
+              CAST(count(*) FILTER (value IS NOT NULL AND
+                   (value < 0 OR value > 300)) AS BIGINT),
+              CAST(count(*) AS BIGINT) FROM events
+       UNION ALL
+       SELECT 'etype_format', 'regex', 'event_type',
+              CAST(count(*) FILTER (event_type IS NOT NULL AND NOT
+                   regexp_full_match(event_type, '[a-z]+')) AS BIGINT),
+              CAST(count(*) AS BIGINT) FROM events
+       UNION ALL
+       SELECT 'eid_unique', 'unique', 'event_id',
+              CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT),
+              CAST(count(event_id) AS BIGINT) FROM events
+       UNION ALL
+       SELECT 'uid_ref', 'ref', 'user_id',
+              CAST(count(*) FILTER (user_id NOT IN
+                   (SELECT c_custkey FROM customer)) AS BIGINT),
+              CAST(count(*) AS BIGINT)
+       FROM events WHERE user_id IS NOT NULL""",
+    note="the fixture trips three rules on real data (the 'error' event "
+    "type, values above 300, user ids absent from customer) and passes "
+    "three — a validator that always reports zero fails on values",
+)
+def dq_validate(spark, sf):
+    from ..operators.quality_rules import validate_rules
+
+    ev = _t(spark, sf, "events")
+    cust = _t(spark, sf, "customer")
+    rules = [
+        {"name": "uid_not_null", "kind": "not_null", "col": "user_id"},
+        {
+            "name": "etype_domain",
+            "kind": "in_set",
+            "col": "event_type",
+            "values": ["view", "click", "purchase", "signup"],
+        },
+        {"name": "value_range", "kind": "range", "col": "value",
+         "lo": 0, "hi": 300},
+        {"name": "etype_format", "kind": "regex", "col": "event_type",
+         "pattern": "[a-z]+"},
+        {"name": "eid_unique", "kind": "unique", "col": "event_id"},
+        {"name": "uid_ref", "kind": "ref", "col": "user_id",
+         "ref": cust, "ref_col": "c_custkey"},
+    ]
+    return validate_rules(ev, rules)
+
+
 # The driver's correctness artifact records AT MOST the FIRST 50 entries of
 # queries() in iteration order (proven empirically: CORRECTNESS_r01 had 45 =
 # the whole catalog then; r02 and r03 both contain exactly the first 50
