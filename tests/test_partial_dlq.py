@@ -175,3 +175,74 @@ def test_full_lww_unchanged_by_default(spark, tmp_path):
     )
     a = _state(table)[("r0", "a.py")]
     assert a["content"] is None and a["size_bytes"] is None
+
+
+def test_contract_reject_routes_rows_to_dlq(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    table = ManifestTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    dlq = str(tmp_path / "dlq")
+    rules = [
+        {"name": "lang_domain", "kind": "in_set", "col": "lang",
+         "values": ["python", "go"]},
+        {"name": "size_range", "kind": "range", "col": "size_bytes",
+         "lo": 0, "hi": 1000},
+    ]
+    rows = [
+        (1, "insert", "r0", "a.py", "c1", "python", "ok", None, 10),
+        (2, "insert", "r0", "b.py", "c2", "cobol", "bad-lang", None, 10),
+        (3, "insert", "r0", "c.py", "c3", "go", "bad-size", None, 10**6),
+    ]
+    apply_batch(
+        _df(spark, rows), table, "ct", 0, dlq_dir=dlq,
+        contract_rules=rules,
+    )
+    assert set(_state(table)) == {("r0", "a.py")}
+    quarantined = spark.read.parquet(os.path.join(dlq, "ct_0_contract"))
+    got = {
+        r["path"]: r["contract_reason"] for r in quarantined.collect()
+    }
+    assert got == {"b.py": "lang_domain", "c.py": "size_range"}
+    # replay overwrites, not duplicates
+    apply_batch(
+        _df(spark, rows), table, "ct", 0, dlq_dir=dlq,
+        contract_rules=rules,
+    )
+    assert spark.read.parquet(os.path.join(dlq, "ct_0_contract")).count() == 2
+
+    # reject mode needs a DLQ and row-level kinds
+    with pytest.raises(ValueError, match="requires dlq_dir"):
+        apply_batch(_df(spark, rows), table, "ct", 1, contract_rules=rules)
+    with pytest.raises(ValueError, match="row-level"):
+        apply_batch(
+            _df(spark, rows), table, "ct", 1, dlq_dir=dlq,
+            contract_rules=[{"name": "u", "kind": "unique", "col": "repo"}],
+        )
+
+
+def test_contract_fail_stops_the_line(spark, tmp_path):
+    import pytest
+
+    table = ManifestTable.create(spark, str(tmp_path / "t"), n_buckets=2)
+    good = [(1, "insert", "r0", "a.py", "c1", "python", "x", None, 10)]
+    bad = [(2, "insert", "r0", "b.py", "c2", None, "y", None, 10)]
+    rules = [{"name": "lang_nn", "kind": "not_null", "col": "lang"}]
+    # clean batch passes and lands
+    apply_batch(
+        _df(spark, good), table, "cf", 0,
+        contract_rules=rules, contract_mode="fail",
+    )
+    assert len(_state(table)) == 1
+    # violating batch aborts BEFORE any merge
+    with pytest.raises(ValueError, match="lang_nn=1"):
+        apply_batch(
+            _df(spark, bad), table, "cf", 1,
+            contract_rules=rules, contract_mode="fail",
+        )
+    assert len(_state(table)) == 1
+    with pytest.raises(ValueError, match="contract_mode"):
+        apply_batch(
+            _df(spark, good), table, "cf", 2,
+            contract_rules=rules, contract_mode="bogus",
+        )

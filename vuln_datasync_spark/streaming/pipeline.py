@@ -86,6 +86,8 @@ def apply_batch(
     broadcast_winners: bool | str = "auto",
     partial_update: bool = False,
     dlq_dir: str | None = None,
+    contract_rules: list[dict] | None = None,
+    contract_mode: str = "reject",
 ) -> dict | None:
     """Apply one changelog batch to the table; returns the lineage record.
 
@@ -111,7 +113,56 @@ def apply_batch(
     of duplicating them — DLQ idempotence matches the sink's
     exactly-once. Reference analog: per-record validation skip +
     error accounting, /root/reference/internal/handlers/gitlab/
-    fetcher.go record-skip path."""
+    fetcher.go record-skip path.
+
+    ``contract_rules``: declarative data contract enforced on the batch
+    BEFORE normalization (operators/quality_rules.py rule dicts).
+    ``contract_mode='reject'`` routes each violating row to the DLQ
+    (row-level kinds only — not_null/in_set/range/regex — since a
+    per-row verdict is what routing needs; requires ``dlq_dir``) with a
+    ``contract_reason`` naming the first rule it broke; replays
+    overwrite the same epoch-named dir, keeping DLQ idempotence.
+    ``contract_mode='fail'`` aborts the batch on ANY violated rule
+    (set-level kinds allowed) — the stop-the-line form for pipelines
+    where a contract breach means upstream corruption, not bad rows."""
+    if contract_rules:
+        from ..operators.quality_rules import (
+            _ROW_KINDS,
+            _row_violation,
+            assert_rules,
+        )
+
+        if contract_mode == "fail":
+            assert_rules(events, contract_rules)
+        elif contract_mode == "reject":
+            if dlq_dir is None:
+                raise ValueError("contract_mode='reject' requires dlq_dir")
+            bad_kinds = [
+                r["kind"] for r in contract_rules
+                if r["kind"] not in _ROW_KINDS
+            ]
+            if bad_kinds:
+                raise ValueError(
+                    "contract_mode='reject' takes row-level rules only; "
+                    f"got {bad_kinds} (use contract_mode='fail')"
+                )
+            reason = F.lit(None).cast("string")
+            keep = F.lit(True)
+            for r in reversed(contract_rules):
+                name = r.get("name") or f'{r["kind"]}:{r["col"]}'
+                v = _row_violation(r)
+                reason = F.when(v, F.lit(name)).otherwise(reason)
+                keep = keep & ~v
+            events.filter(~keep).withColumn(
+                "contract_reason", reason
+            ).write.mode("overwrite").parquet(
+                os.path.join(
+                    dlq_dir, f"{checkpoint_id}_{batch_id}_contract"
+                )
+            )
+            events = events.filter(keep)
+        else:
+            raise ValueError(f"unknown contract_mode: {contract_mode}")
     if dlq_dir is not None:
         rejects = reject_events(events)
         rejects.write.mode("overwrite").parquet(
@@ -243,6 +294,8 @@ def run_stream(
     partial_update: bool = False,
     dlq_dir: str | None = None,
     branch: str | None = None,
+    contract_rules: list[dict] | None = None,
+    contract_mode: str = "reject",
 ):
     """Tail a changelog directory (file source stands in for the Iceberg/
     Kafka changelog; offsets live in the Structured Streaming checkpoint)
@@ -284,6 +337,8 @@ def run_stream(
             broadcast_winners=broadcast_winners,
             partial_update=partial_update,
             dlq_dir=dlq_dir,
+            contract_rules=contract_rules,
+            contract_mode=contract_mode,
         )
         if on_batch is not None:
             on_batch(batch_id, lineage)
