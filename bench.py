@@ -475,6 +475,48 @@ def bench_zone(spark, log_dir: str, n_events: int) -> dict:
     return out
 
 
+def bench_token(spark) -> dict:
+    """Inverted-token-index probe vs the full-corpus scan it replaces.
+    The absolute ratio at sf0.1 is modest (the whole corpus fits in page
+    cache); the scale story is the I/O shape — the probe reads only the
+    probed terms' md5-prefix partitions, so its cost is flat in corpus
+    size while the scan grows linearly."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vuln_datasync_spark.operators.token_index import (
+        build_token_index,
+        search_token_index,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    idx = os.path.join(WORK, "tok_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.monotonic()
+    build_token_index(docs, "text", "doc_id", idx)
+    build_sec = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    n_idx = search_token_index(
+        spark, idx, "hash join", docs=docs, text_col="text", id_col="doc_id"
+    ).count()
+    probe_sec = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    n_scan = docs.filter(
+        F.contains(F.lower(F.col("text")), F.lit("hash join"))
+    ).count()
+    scan_sec = round(time.monotonic() - t0, 3)
+    assert n_idx == n_scan, (n_idx, n_scan)
+    return {
+        "build_sec": build_sec,
+        "probe_sec": probe_sec,
+        "full_scan_sec": scan_sec,
+        "hits": n_idx,
+    }
+
+
 def main():
     os.makedirs(WORK, exist_ok=True)
     if len(sys.argv) > 1 and sys.argv[1] == "--replay-worker":
@@ -525,6 +567,7 @@ def main():
     zone = bench_zone(spark, log_dir, N_EVENTS)
     ingest = bench_ingest(spark)
     mor = bench_mor(spark, log_dir)
+    token = bench_token(spark)
     spark.stop()
 
     scaling = None
@@ -546,6 +589,7 @@ def main():
         "zone": zone,
         "ingest": ingest,
         "mor": mor,
+        "token_index": token,
         "scaling": scaling,
     }
     print(json.dumps(out))
