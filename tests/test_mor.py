@@ -392,3 +392,100 @@ def test_mor_streaming_ingest_matches_oracle(spark, tmp_path):
     table.compact_logs()
     assert not any((table.manifest().get("logs") or {}).values())
     assert_state_matches(table, ev)
+
+
+def _bucket_of(spark, repo, path, n_buckets):
+    return spark.sql(
+        f"SELECT pmod(xxhash64('{repo}', '{path}'), {n_buckets}) AS b"
+    ).collect()[0]["b"]
+
+
+def test_merge_into_logs_only_bucket_keeps_prior_rows(spark, tmp_path):
+    """Regression: a bucket whose ONLY data is MOR log files (its first
+    rows arrived via a mor_write that qualified because a sibling bucket
+    had base files) must count as 'stored'. Before the fix, a later merge
+    touching only that bucket saw stored_files=False, took the bulk-append
+    fast path (no target read), and the COW commit branch popped the
+    bucket's log entries — the earlier rows silently vanished."""
+    nb = 4
+    # probe keys into buckets: one base key, two keys sharing a DIFFERENT
+    # bucket than the base key
+    keys = [("r%d" % i, "f%d.py" % i) for i in range(40)]
+    by_bucket = {}
+    for r, p in keys:
+        by_bucket.setdefault(_bucket_of(spark, r, p, nb), []).append((r, p))
+    base_b = next(b for b, ks in by_bucket.items() if len(ks) >= 1)
+    log_b = next(
+        b for b, ks in by_bucket.items() if b != base_b and len(ks) >= 2
+    )
+    (kr, kp) = by_bucket[base_b][0]
+    (ar, ap), (br, bp) = by_bucket[log_b][:2]
+
+    t = ManifestTable.create(
+        spark, str(tmp_path / "t"), n_buckets=nb, merge_mode="mor"
+    )
+    # batch 0: base file in base_b only (fresh table -> bulk append)
+    _batch(spark, t, [_ev(1, "insert", kr, kp, "base")], 0)
+    assert str(base_b) in t.manifest()["files"]
+    # batch 1: touches base_b (has base files) AND log_b (empty) ->
+    # mor_write -> log_b becomes logs-only
+    _batch(
+        spark,
+        t,
+        [_ev(2, "update", kr, kp, "base2"), _ev(3, "insert", ar, ap, "vA")],
+        1,
+    )
+    m = t.manifest()
+    assert str(log_b) not in m["files"] and str(log_b) in (m["logs"] or {})
+    # batch 2: touches ONLY the logs-only bucket
+    _batch(spark, t, [_ev(4, "insert", br, bp, "vB")], 2)
+    state = _state(t)
+    assert state[(ar, ap)] == "vA"  # the row the bug used to drop
+    assert state[(br, bp)] == "vB"
+    assert state[(kr, kp)] == "base2"
+    # and the logs-only bucket honored mor=True: appended, not rewritten
+    assert str(log_b) in (t.manifest()["logs"] or {})
+
+
+def test_cow_merge_into_logs_only_bucket_folds_logs(spark, tmp_path):
+    """Same planted layout, but the follow-up merge forces mor=False: the
+    COW rewrite must READ the outstanding log rows and fold them into the
+    new base files (not drop them when it pops the log manifest entry)."""
+    nb = 4
+    keys = [("r%d" % i, "f%d.py" % i) for i in range(40)]
+    by_bucket = {}
+    for r, p in keys:
+        by_bucket.setdefault(_bucket_of(spark, r, p, nb), []).append((r, p))
+    base_b = next(b for b, ks in by_bucket.items() if len(ks) >= 1)
+    log_b = next(
+        b for b, ks in by_bucket.items() if b != base_b and len(ks) >= 2
+    )
+    (kr, kp) = by_bucket[base_b][0]
+    (ar, ap), (br, bp) = by_bucket[log_b][:2]
+
+    t = ManifestTable.create(
+        spark, str(tmp_path / "t"), n_buckets=nb, merge_mode="mor"
+    )
+    _batch(spark, t, [_ev(1, "insert", kr, kp, "base")], 0)
+    _batch(
+        spark,
+        t,
+        [_ev(2, "update", kr, kp, "base2"), _ev(3, "insert", ar, ap, "vA")],
+        1,
+    )
+    from vuln_datasync_spark.functions.normalize import normalize_events
+    from vuln_datasync_spark.operators.lww import lww_resolve
+
+    winners = lww_resolve(
+        normalize_events(
+            spark.createDataFrame(
+                [_ev(4, "insert", br, bp, "vB")], CHANGELOG_SCHEMA
+            )
+        )
+    )
+    t.merge(winners, checkpoint_id="cow-fold", batch_id=0, mor=False)
+    m = t.manifest()
+    assert str(log_b) not in (m.get("logs") or {})  # folded
+    state = _state(t)
+    assert state[(ar, ap)] == "vA"
+    assert state[(br, bp)] == "vB"

@@ -1377,8 +1377,16 @@ class ManifestTable:
             new_schema = batch_schema
 
         batch = _conform(batch.drop("_bucket"), new_schema)
+        # A bucket counts as "stored" if it has base files OR outstanding
+        # MOR log files: a logs-only bucket (first rows arrived via a
+        # mor_write that qualified because a sibling bucket had base files)
+        # must NOT take the bulk-append fast path — that path skips the
+        # target read and the COW commit branch pops the bucket's log
+        # entries, silently dropping the prior rows.
+        _parent_logs = (parent_m.get("logs") or {}) if parent_m else {}
         stored_files = parent_m and any(
-            parent_m["files"].get(str(b)) for b in affected
+            parent_m["files"].get(str(b)) or _parent_logs.get(str(b))
+            for b in affected
         )
         mor_write = bool(mor and stored_files)
         if mor_write:
