@@ -503,9 +503,19 @@ def bench_token(spark) -> dict:
     ).count()
     probe_sec = round(time.monotonic() - t0, 3)
 
+    # the scan spells out the probe's documented 2-token semantics:
+    # verbatim substring AND both phrase tokens present as complete
+    # tokens (a 2-token phrase has no interior anchor, so an occurrence
+    # whose edge tokens are run-embedded — 'rehash joins' — is by
+    # contract not reported; see search_token_index boundary semantics)
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit("[a-z0-9]+"), F.lit(0)
+    )
     t0 = time.monotonic()
     n_scan = docs.filter(
         F.contains(F.lower(F.col("text")), F.lit("hash join"))
+        & F.array_contains(toks, "hash")
+        & F.array_contains(toks, "join")
     ).count()
     scan_sec = round(time.monotonic() - t0, 3)
     assert n_idx == n_scan, (n_idx, n_scan)

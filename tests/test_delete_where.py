@@ -263,3 +263,54 @@ def test_cli_update_where(spark, tmp_path, capsys, monkeypatch):
     assert rows["f1.py"]["lang"] == "rust"
     assert rows["f1.py"]["size_bytes"] == 2
     assert rows["f4.py"]["lang"] == "py"
+
+
+def test_cli_distinct_ops_get_distinct_default_epochs(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """Two DIFFERENT update/delete operations run with default flags must
+    both apply — the old constant default checkpoint-id swallowed the
+    second one as a replayed epoch."""
+    from vuln_datasync_spark import cli
+
+    monkeypatch.setattr(cli, "_spark", lambda args: spark)
+    tbl = str(tmp_path / "t")
+    table = ManifestTable.create(spark, tbl, n_buckets=2)
+    _apply(spark, table, _rows(range(1, 6), "fix"), 0)
+
+    assert cli.main([
+        "update-where", "--table", tbl,
+        "--predicate", "commit_seq <= 2", "--set", "lang='rust'",
+    ]) == 0
+    out1 = json.loads(capsys.readouterr().out.strip())
+    assert out1["rows_updated"] == 2
+
+    # second, DIFFERENT update with defaults: must apply, not replay
+    # (predicate on path — update_where bumps commit_seq, so seq-based
+    # predicates would drift between runs)
+    assert cli.main([
+        "update-where", "--table", tbl,
+        "--predicate", "path = 'f3.py'", "--set", "lang='go'",
+    ]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip())
+    assert out2.get("rows_updated") == 1, out2
+
+    # re-running the SAME update IS a replay no-op (exactly-once kept)
+    assert cli.main([
+        "update-where", "--table", tbl,
+        "--predicate", "path = 'f3.py'", "--set", "lang='go'",
+    ]) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == {
+        "status": "replayed-epoch"
+    }
+
+    # distinct deletes with defaults: both apply
+    assert cli.main([
+        "delete-where", "--table", tbl, "--predicate", "path = 'f1.py'",
+    ]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["rows_deleted"] == 1
+    assert cli.main([
+        "delete-where", "--table", tbl, "--predicate", "path = 'f2.py'",
+    ]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["rows_deleted"] == 1
+    assert table.read().count() == 3

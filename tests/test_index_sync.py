@@ -302,3 +302,58 @@ def test_cli_sync_token(spark, tmp_path, capsys, monkeypatch):
     assert rec.get("bootstrap") is True
     assert cli.main(argv) == 0
     assert json.loads(capsys.readouterr().out.strip()) == {"status": "current"}
+
+
+def test_sync_reseed_missing_index_covers_full_table(spark, tmp_path):
+    """Cursor exists but the index dir was wiped between syncs: the
+    re-seed must rebuild from the FULL live table at the target snapshot,
+    not from the delta alone — otherwise every doc outside the delta is
+    silently unsearchable while the cursor still advances."""
+    import shutil
+
+    from vuln_datasync_spark.operators.token_index import (
+        search_token_index,
+    )
+    from vuln_datasync_spark.pipelines.index_sync import sync_token_index
+
+    D_SCHEMA = (
+        "doc_id long, commit_seq long, commit string, op string, text string"
+    )
+    table = ManifestTable.create(
+        spark, str(tmp_path / "rt"), n_buckets=4, key_cols=("doc_id",)
+    )
+    idx = str(tmp_path / "ridx")
+    table.merge(
+        spark.createDataFrame(
+            [
+                (1, 1, "c1", "insert", "alpha beta"),
+                (2, 2, "c2", "insert", "gamma delta"),
+            ],
+            D_SCHEMA,
+        ),
+        "rs", 0,
+    )
+    assert sync_token_index(table, idx, "text")["bootstrap"] is True
+
+    # wipe the index, then advance the table with a delta touching doc 3
+    shutil.rmtree(idx)
+    table.merge(
+        spark.createDataFrame(
+            [(3, 3, "c3", "insert", "epsilon zeta")], D_SCHEMA
+        ),
+        "rs", 1,
+    )
+    rec = sync_token_index(table, idx, "text")
+    assert rec["bootstrap"] is True
+
+    def found(term):
+        return sorted(
+            r["id"] for r in search_token_index(spark, idx, term).collect()
+        )
+
+    # docs OUTSIDE the delta are searchable again after the re-seed
+    assert found("alpha") == [1]
+    assert found("gamma") == [2]
+    assert found("epsilon") == [3]
+    # and the cursor is truthfully current
+    assert sync_token_index(table, idx, "text") is None

@@ -131,3 +131,39 @@ def test_upsert_equals_rebuild_and_is_idempotent(spark, tmp_path):
         full2,
     )
     assert snap(inc) == snap(full2)
+
+
+def test_verbatim_probe_relaxes_run_embedded_edge_tokens(spark, tmp_path):
+    """>=3-token verbatim probes are EXACT substring search: phrase-edge
+    tokens may be embedded in longer alnum runs in the text ('rehash
+    joins them' contains 'ash joins the'), so candidates require only
+    the interior tokens and the substring recheck restores precision."""
+    docs = spark.createDataFrame(
+        [
+            (1, "rehash joins them quickly"),   # edges run-embedded
+            (2, "ash joins the party"),          # plain occurrence
+            (3, "ash and joins and the"),        # tokens yes, phrase no
+            (4, "nothing relevant here"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "tok")
+    build_token_index(docs, "text", "doc_id", idx)
+
+    hits = sorted(
+        r["id"]
+        for r in search_token_index(
+            spark, idx, "ash joins the",
+            docs=docs, text_col="text", id_col="doc_id",
+        ).collect()
+    )
+    # doc 1 would be MISSED under all-token AND (no 'ash'/'the' tokens);
+    # doc 3 has every token but not the verbatim phrase
+    assert hits == [1, 2]
+
+    # index-only retrieval keeps token-containment semantics
+    cand = sorted(
+        r["id"]
+        for r in search_token_index(spark, idx, "ash joins the").collect()
+    )
+    assert cand == [2, 3]

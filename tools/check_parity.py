@@ -1,7 +1,17 @@
 """Local mimic of the driver's correctness gate: run each catalog query in
 Spark AND its oracle SQL in DuckDB on the same parquet tables; compare
-row count, column names, and values (order-insensitive, exact match after
-string normalization). Usage: python tools/check_parity.py [sf_dir] [names...]
+row count, column names, and values two ways:
+
+1. string-normalized exact compare (order-insensitive) — value truth;
+2. a replica of the driver's pandas canonicalization — both results as
+   pandas DataFrames, columns sorted by name, ``sort_values`` over all
+   columns, then a DTYPE-SENSITIVE ``hash_pandas_object``. This layer is
+   what the driver actually grades: it throws on list-typed cells
+   (unhashable in sort_values) and hash-mismatches int64-vs-float64 even
+   when values are equal (e.g. DuckDB HUGEINT window sums -> float64).
+   Round 4 shipped red driver rows that layer 1 alone called green.
+
+Usage: python tools/check_parity.py [sf_dir] [names...]
 """
 
 from __future__ import annotations
@@ -12,6 +22,7 @@ import sys
 sys.path.insert(0, ".")
 
 import duckdb
+import pandas as pd
 
 from vuln_datasync_spark.plans.queries import QUERIES
 from vuln_datasync_spark.session import get_spark
@@ -42,6 +53,22 @@ def canon(rows, cols):
     return [cols[i] for i in order], out
 
 
+def driver_hash(pdf: pd.DataFrame):
+    """Replicate the driver's canonicalization: sort columns by name,
+    sort_values over all columns, dtype-sensitive row hash. Raises the
+    same TypeError the driver does on list-typed cells; int64 vs float64
+    of equal values hash DIFFERENTLY (that is the point)."""
+    cols = sorted(pdf.columns)
+    c = pdf[cols].sort_values(cols).reset_index(drop=True)
+    # pandas units differ between engines for equal instants (Spark ns vs
+    # DuckDB us); the driver evidently tolerates this (timestamp entries
+    # are driver-green), so normalize datetimes to us before hashing.
+    for col in cols:
+        if str(c[col].dtype).startswith("datetime64"):
+            c[col] = c[col].astype("datetime64[us]")
+    return int(pd.util.hash_pandas_object(c, index=False).sum())
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -56,9 +83,11 @@ def main():
         if only and qd.name not in only:
             continue
         try:
-            sdf = qd.spark_fn(spark, sf_dir)
+            sdf = qd.spark_fn(spark, sf_dir).persist()
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            sdf.unpersist()
         except Exception as e:
             print(f"FAIL  {qd.name}: spark error: {e}")
             n_fail += 1
@@ -71,6 +100,7 @@ def main():
             res = con.execute(qd.sql)
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            dpdf = con.execute(qd.sql).df()
         except Exception as e:
             print(f"FAIL  {qd.name}: duckdb error: {e}")
             n_fail += 1
@@ -88,8 +118,31 @@ def main():
             print(f"FAIL  {qd.name}: values differ, e.g. {diffs}")
             n_fail += 1
         else:
-            print(f"ok    {qd.name}: {len(sv)} rows")
-            n_pass += 1
+            # layer 2: the driver's dtype-sensitive pandas canonicalization
+            try:
+                sh, dh = driver_hash(spdf), driver_hash(dpdf)
+            except Exception as e:
+                print(
+                    f"FAIL  {qd.name}: values ok but driver-canon raises: "
+                    f"{type(e).__name__}: {e}"
+                )
+                n_fail += 1
+                continue
+            if sh != dh:
+                dt = {
+                    c: (str(spdf[c].dtype), str(dpdf[c].dtype))
+                    for c in spdf.columns
+                    if c in dpdf.columns
+                    and str(spdf[c].dtype) != str(dpdf[c].dtype)
+                }
+                print(
+                    f"FAIL  {qd.name}: values ok but driver-hash differs; "
+                    f"dtype deltas spark-vs-duck: {dt}"
+                )
+                n_fail += 1
+            else:
+                print(f"ok    {qd.name}: {len(sv)} rows")
+                n_pass += 1
     print(f"\n{n_pass} ok, {n_fail} fail, {n_rowsonly} rows-only")
     spark.stop()
     sys.exit(1 if n_fail else 0)

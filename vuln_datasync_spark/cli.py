@@ -590,6 +590,17 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def _op_epoch_key(*parts) -> str:
+    """Deterministic epoch-key suffix for predicate delete/update runs:
+    a hash of the operation's own arguments, so distinct operations run
+    with default flags occupy distinct exactly-once epochs (checkpoint_id
+    must not be a shared constant — the second distinct operation would
+    be swallowed as an epoch replay)."""
+    import hashlib
+
+    return hashlib.sha256(repr(parts).encode()).hexdigest()[:12]
+
+
 def cmd_delete_where(args) -> int:
     """Predicate delete routed through MERGE as tombstone events (the
     takedown path — change feed and index syncs observe it like CDC)."""
@@ -597,9 +608,15 @@ def cmd_delete_where(args) -> int:
 
     spark = _spark(args)
     table = ManifestTable(spark, args.table)
+    # default epoch key = hash of the operation itself: two DIFFERENT
+    # deletes run with defaults must not collide on one epoch (the second
+    # would be silently swallowed as "replayed-epoch")
+    ckpt = args.checkpoint_id or "delete-where-" + _op_epoch_key(
+        args.predicate, args.where
+    )
     rec = table.delete_where(
         args.predicate,
-        checkpoint_id=args.checkpoint_id,
+        checkpoint_id=ckpt,
         batch_id=args.batch_id,
         range_filters=_parse_where(args.where) or None,
     )
@@ -629,10 +646,13 @@ def cmd_update_where(args) -> int:
             raise SystemExit(f"--set expects COL=SQL_EXPR, got {kv!r}")
         c, expr = kv.split("=", 1)
         sets[c.strip()] = expr
+    ckpt = args.checkpoint_id or "update-where-" + _op_epoch_key(
+        args.predicate, args.where, sorted(sets.items())
+    )
     rec = table.update_where(
         args.predicate,
         sets,
-        checkpoint_id=args.checkpoint_id,
+        checkpoint_id=ckpt,
         batch_id=args.batch_id,
         range_filters=_parse_where(args.where) or None,
     )
@@ -1099,7 +1119,14 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="COL=LO..HI",
         help="optional zone-map scan scope",
     )
-    dw.add_argument("--checkpoint-id", default="delete-where")
+    dw.add_argument(
+        "--checkpoint-id",
+        default=None,
+        help="exactly-once epoch key; defaults to a hash of the "
+        "predicate+scope so DIFFERENT deletes never collide on one "
+        "epoch (re-running the SAME delete is still a replay no-op — "
+        "bump --batch-id to re-apply it to newer data)",
+    )
     dw.add_argument("--batch-id", type=int, default=0)
     dw.set_defaults(fn=cmd_delete_where)
 
@@ -1124,7 +1151,14 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="COL=LO..HI",
         help="optional zone-map scan scope",
     )
-    uw.add_argument("--checkpoint-id", default="update-where")
+    uw.add_argument(
+        "--checkpoint-id",
+        default=None,
+        help="exactly-once epoch key; defaults to a hash of the "
+        "predicate+assignments+scope so DIFFERENT updates never collide "
+        "on one epoch (re-running the SAME update is still a replay "
+        "no-op — bump --batch-id to re-apply it to newer data)",
+    )
     uw.add_argument("--batch-id", type=int, default=0)
     uw.set_defaults(fn=cmd_update_where)
 

@@ -238,10 +238,14 @@ def ngram_jaccard_pairs(
     that only share capped shingles are not reported, and the dropped
     volume is logged. Bounded is the DEFAULT; pass ``None`` to opt out.
     """
+    # The exploded shingle frame feeds THREE separately-compiled plan
+    # branches: the hot-shingle cap action and both self-join sides. Same
+    # fix as minhash_lsh_candidates' signature frame above: materialize it
+    # ONCE with localCheckpoint so the shingle explode doesn't replay ~3x.
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(char_shingles(F.col(text_col), shingle_k)).alias("s"),
-    )
+    ).localCheckpoint(eager=True)
     # |A| per doc straight off the (distinct-element) shingle array — no
     # explode, no groupBy shuffle, one fewer execution of the upstream
     sizes = df.select(

@@ -63,13 +63,24 @@ def build_token_index(
     rows.write.mode(mode).partitionBy("pfx").parquet(out_path)
 
 
-def _probe_terms(phrase: str) -> list[str]:
+def _probe_terms(phrase: str, relax_edges: bool = False) -> list[str]:
+    """Terms a candidate document must contain. With ``relax_edges`` (the
+    verbatim-recheck path, >=3-token phrases) the FIRST and LAST phrase
+    tokens are dropped from the requirement: in the text they may be
+    embedded in a longer ``[a-z0-9]`` run (text 'rehash joins' contains
+    the verbatim substring 'hash join' but tokenizes to rehash/joins), so
+    requiring them would miss true verbatim occurrences. Interior tokens
+    are safe to require — inside the phrase they are flanked by
+    non-alphanumeric characters on both sides, so any verbatim occurrence
+    yields them as complete tokens."""
     import re
 
-    terms = sorted(set(re.findall(TOKEN_RE, phrase.lower())))
-    if not terms:
+    toks = re.findall(TOKEN_RE, phrase.lower())
+    if not toks:
         raise ValueError(f"phrase has no indexable terms: {phrase!r}")
-    return terms
+    if relax_edges and len(toks) >= 3:
+        return sorted(set(toks[1:-1]))
+    return sorted(set(toks))
 
 
 def load_postings(
@@ -104,8 +115,23 @@ def search_token_index(
     recheck joins the candidate ids (broadcast — posting-list sized)
     back to the corpus, so the full text is read only for candidate
     rows; the corpus is never scanned for the search itself.
+
+    BOUNDARY SEMANTICS. Phrase-EDGE tokens can be embedded in a longer
+    alphanumeric run in the text ('rehash joins' contains the verbatim
+    substring 'hash join' but tokenizes to rehash/joins), which the
+    token index cannot see. On the verbatim-recheck path with a phrase
+    of >=3 tokens this is handled exactly: the edge tokens are dropped
+    from the candidate AND (interior tokens alone are required — they
+    are guaranteed complete tokens in any verbatim occurrence) and the
+    substring recheck restores precision, so the result is EXACTLY the
+    verbatim-substring match set. For 1-2-token phrases every token is
+    an edge and no interior anchor exists, so candidates require all
+    tokens and a run-embedded occurrence is NOT reported — the result
+    is "verbatim substring AND every phrase token present as a complete
+    token" (the documented, oracle-encoded form). Index-only retrieval
+    (``docs=None``) always uses token-containment semantics.
     """
-    terms = _probe_terms(phrase)
+    terms = _probe_terms(phrase, relax_edges=docs is not None)
     cand = (
         load_postings(spark, index_path, terms)
         .groupBy("id")

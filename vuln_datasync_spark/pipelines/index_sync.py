@@ -32,6 +32,17 @@ from ..sinks.manifest_table import ManifestTable
 logger = logging.getLogger(__name__)
 
 
+def _seed_rows(table: ManifestTable, to_snapshot_id: str, cols: list[str]):
+    """Re-seed source when the index directory is MISSING but the
+    consumer cursor EXISTS (frm is not None — e.g. the index was wiped or
+    relocated between syncs). The delta alone must not seed the rebuild:
+    the cursor still advances, so every document outside that delta would
+    be silently absent from the index until a manual rebuild. Read the
+    full live table at the feed's target snapshot instead — same cost as
+    the first-ever bootstrap, and the cursor advance stays truthful."""
+    return table.read(to_snapshot_id).select(*cols)
+
+
 def sync_ann_index(
     table: ManifestTable,
     index_path: str,
@@ -64,9 +75,13 @@ def sync_ann_index(
         ).select(id_col, vec_col)
         have_index = bool(glob.glob(f"{index_path}/band=*"))
         if frm is None or not have_index:
-            # bootstrap / re-seed: the feed IS the full live table
+            # frm None: the feed IS the full live table. frm set but index
+            # missing: re-seed from the full table at `to` (see _seed_rows)
+            src = ups if frm is None else _seed_rows(
+                table, to, [id_col, vec_col]
+            )
             build_ann_index(
-                ups, vec_col, id_col, dim, index_path, n_planes, bands, seed
+                src, vec_col, id_col, dim, index_path, n_planes, bands, seed
             )
             stats["bootstrap"] = True
             return
@@ -138,8 +153,11 @@ def sync_minhash_index(
         ).select(id_col, text_col)
         have_index = bool(_glob.glob(f"{index_path}/band=*"))
         if frm is None or not have_index:
+            src = new_rows if frm is None else _seed_rows(
+                table, to, [id_col, text_col]
+            )
             build_minhash_index(
-                new_rows, text_col, id_col, index_path, k, bands, shingle_k
+                src, text_col, id_col, index_path, k, bands, shingle_k
             )
             stats["bootstrap"] = True
             return
@@ -202,8 +220,11 @@ def sync_alias_index(
         ).select(id_col, alias_col)
         have_index = bool(_glob.glob(f"{index_path}/pfx=*"))
         if frm is None or not have_index:
+            src = new_rows if frm is None else _seed_rows(
+                table, to, [id_col, alias_col]
+            )
             build_alias_index(
-                new_rows, index_path, alias_col=alias_col, id_col=id_col
+                src, index_path, alias_col=alias_col, id_col=id_col
             )
             stats["bootstrap"] = True
             return
@@ -265,7 +286,10 @@ def sync_token_index(
         ).select(id_col, text_col)
         have_index = bool(_glob.glob(f"{index_path}/pfx=*"))
         if frm is None or not have_index:
-            build_token_index(new_rows, text_col, id_col, index_path)
+            src = new_rows if frm is None else _seed_rows(
+                table, to, [id_col, text_col]
+            )
+            build_token_index(src, text_col, id_col, index_path)
             stats["bootstrap"] = True
             return
         old_rows = feed.filter(

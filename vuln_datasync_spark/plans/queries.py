@@ -1472,21 +1472,34 @@ def tx_normalize(spark, sf):
         SELECT vec_id, label,
                coalesce(maxabs / 127.0, 0.0) AS scale,
                CASE WHEN maxabs > 0 THEN
-                 list_transform(embedding, x ->
-                   CAST(floor(CAST(x AS DOUBLE) / (maxabs / 127.0) + 0.5)
-                        AS INTEGER))
+                 array_to_string(list_transform(embedding, x ->
+                   CAST(CAST(floor(CAST(x AS DOUBLE) / (maxabs / 127.0)
+                                   + 0.5) AS INTEGER) AS VARCHAR)), ',')
                END AS qvec
         FROM m ORDER BY vec_id""",
     note="map-only transform/array_max exprs; rounding spelled "
     "floor(x+0.5) in a fixed IEEE op order so any SQL engine "
-    "reproduces it bit-for-bit",
+    "reproduces it bit-for-bit. qvec is array_join'd to a ','-string in "
+    "the catalog PROJECTION only (quantize_embeddings itself returns the "
+    "int array): pandas canonicalizers can't sort_values/hash list cells",
 )
 def sim_quant(spark, sf):
     from ..operators.similarity import quantize_embeddings
 
-    return quantize_embeddings(
-        _t(spark, sf, "embeddings"), "embedding", "vec_id", ("label",)
-    ).orderBy("vec_id")
+    return (
+        quantize_embeddings(
+            _t(spark, sf, "embeddings"), "embedding", "vec_id", ("label",)
+        )
+        .select(
+            "vec_id",
+            "label",
+            "scale",
+            F.array_join(
+                F.transform("qvec", lambda x: x.cast("string")), ","
+            ).alias("qvec"),
+        )
+        .orderBy("vec_id")
+    )
 
 
 @q(
@@ -2508,12 +2521,11 @@ def p10_published(spark, sf):
         )
         SELECT CASE WHEN g % 2 = 0 THEN 100000 + g ELSE 4*g + 3 END AS vuln_id,
                'S-' || CAST(4*g + 2 AS VARCHAR) AS summary,
-               ['CH-' || CAST(4*g + 3 AS VARCHAR),
-                'CH-' || CAST(4*g + 2 AS VARCHAR),
-                'CH-' || CAST(4*g + 1 AS VARCHAR),
-                'CH-' || CAST(4*g AS VARCHAR)] AS aliases,
-               CASE WHEN g % 2 = 0 THEN ['cve', 'osv'] ELSE ['osv'] END
-                   AS sources,
+               'CH-' || CAST(4*g + 3 AS VARCHAR) ||
+               '|CH-' || CAST(4*g + 2 AS VARCHAR) ||
+               '|CH-' || CAST(4*g + 1 AS VARCHAR) ||
+               '|CH-' || CAST(4*g AS VARCHAR) AS aliases,
+               CASE WHEN g % 2 = 0 THEN 'cve|osv' ELSE 'osv' END AS sources,
                4*g + 3 AS commit_seq
         FROM g ORDER BY vuln_id""",
     note="fixture plants 50 four-record alias chains (doc d carries CH-d "
@@ -2521,7 +2533,10 @@ def p10_published(spark, sf):
     "existing cve record hooked to its interior alias. The oracle derives "
     "the expected merged rows analytically from the chain structure: a "
     "one-hop engine would split each chain into >=2 records and fail on "
-    "row count; a top-2 field fold would miss the tail aliases",
+    "row count; a top-2 field fold would miss the tail aliases. The "
+    "aliases/sources arrays are array_join'd to '|' strings in the "
+    "catalog PROJECTION only (operator output stays array-typed): "
+    "pandas canonicalizers can't sort_values/hash list cells",
 )
 def mg_alias_closure(spark, sf):
     from ..operators.merge import merge_by_alias_overlap
@@ -2548,8 +2563,15 @@ def mg_alias_closure(spark, sf):
         F.concat(F.lit("E-"), g.cast("string")).alias("summary"),
         F.array(ch(doc + 1)).alias("aliases"),
     )
-    return merge_by_alias_overlap(
+    merged = merge_by_alias_overlap(
         inc, ex, scalar_cols=["summary"], array_cols=["aliases"]
+    )
+    return merged.select(
+        "vuln_id",
+        "summary",
+        F.array_join("aliases", "|").alias("aliases"),
+        F.array_join("sources", "|").alias("sources"),
+        "commit_seq",
     ).orderBy("vuln_id")
 
 
@@ -3249,10 +3271,10 @@ def samp_stratified_q(spark, sf):
     "sums, one shuffle, O(1) window state)",
     """WITH s AS (
           SELECT doc_id, n_chars, doc_id % 8 AS pack_shard,
-                 sum(n_chars) OVER (
+                 CAST(sum(n_chars) OVER (
                    PARTITION BY doc_id % 8 ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                 ) - n_chars AS start
+                 ) - n_chars AS BIGINT) AS start
           FROM documents
         )
         SELECT doc_id, pack_shard,
@@ -3262,7 +3284,10 @@ def samp_stratified_q(spark, sf):
     note="weights = n_chars, budget 4096, shard = doc_id % 8; the oracle "
     "is the same running-sum window — an off-by-one in the straddle "
     "semantics (tail flowing into the next sequence) shifts every "
-    "downstream offset and hash-mismatches",
+    "downstream offset and hash-mismatches. The running sum is CAST to "
+    "BIGINT in the oracle: DuckDB window sum() yields HUGEINT, which "
+    "pandas widens to float64 and dtype-sensitive canonicalizers then "
+    "hash differently from Spark's int64 even on equal values",
 )
 def tx_pack_sequences_q(spark, sf):
     from ..operators.corpus import pack_sequences
@@ -3294,10 +3319,10 @@ def tx_pack_sequences_q(spark, sf):
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         s AS (
-          SELECT *, sum(brk) OVER (
+          SELECT *, CAST(sum(brk) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                 ) AS session_idx
+                 ) AS BIGINT) AS session_idx
           FROM o
         )
         SELECT user_id, session_idx, count(*) AS n_events,
@@ -3309,7 +3334,9 @@ def tx_pack_sequences_q(spark, sf):
     "the islands with the same LAG/SUM windows — a sessionizer that "
     "breaks on >= instead of > (or loses the tiebreak) renumbers "
     "sessions and hash-mismatches. Durations as integer micros: no "
-    "float drift possible",
+    "float drift possible. session_idx CAST BIGINT: DuckDB window sum "
+    "is HUGEINT -> float64 in pandas, dtype-hash-mismatching Spark's "
+    "int64 on equal values",
 )
 def ev_sessionize_q(spark, sf):
     from ..operators.sessions import session_stats
@@ -3424,6 +3451,166 @@ def cdc_scd2_history_q(spark, sf):
         val_cols=["event_type", "value"],
         delete_col=F.col("event_type") == "error",
     ).orderBy("user_id", "valid_from_seq")
+
+
+def _feed_table(spark, sf):
+    """Build (once per sf, deterministic /tmp dir) a two-snapshot
+    ManifestTable from the events fixture, for the change-feed and
+    metadata-count catalog entries. Batch 0 inserts every key (LWW winner
+    = max event_id per key); batch 1 updates keys with u%3==0, deletes
+    keys with u%3==1, and inserts 10 brand-new keys. Epoch replay makes
+    rebuilds converge to the same state."""
+    import hashlib as _h
+    import os as _os
+
+    from ..sinks.manifest_table import ManifestTable
+    from ..streaming.pipeline import apply_batch
+
+    root = _os.path.join(
+        "/tmp", "vds_cdcfeed_v1_" + _h.sha256(sf.encode()).hexdigest()[:12]
+    )
+    done = _os.path.join(root, "_CATALOG_DONE")
+    if _os.path.exists(done):
+        return ManifestTable(spark, root)
+    e = _t(spark, sf, "events").filter(F.col("event_id") < 4000)
+    u = (F.col("user_id") % 97).cast("long")
+    f7 = (F.col("event_id") % 7).cast("long")
+    b0 = e.select(
+        F.col("event_id").cast("long").alias("commit_seq"),
+        F.lit("insert").alias("op"),
+        F.concat(F.lit("r"), u.cast("string")).alias("repo"),
+        F.concat(F.lit("f"), f7.cast("string"), F.lit(".py")).alias("path"),
+        F.concat(F.lit("c"), F.col("event_id").cast("string")).alias(
+            "commit"
+        ),
+        F.lit("python").alias("lang"),
+        F.concat(F.lit("v"), F.col("event_id").cast("string")).alias(
+            "content"
+        ),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.col("event_id").cast("long").alias("size_bytes"),
+    )
+    keys = e.select(u.alias("u"), f7.alias("f")).distinct()
+    ku, kf = F.col("u"), F.col("f")
+    kseq = (ku * 7 + kf).cast("long")
+    krepo = F.concat(F.lit("r"), ku.cast("string"))
+    kpath = F.concat(F.lit("f"), kf.cast("string"), F.lit(".py"))
+    upd = keys.filter(ku % 3 == 0).select(
+        (F.lit(10000) + kseq).alias("commit_seq"),
+        F.lit("update").alias("op"),
+        krepo.alias("repo"),
+        kpath.alias("path"),
+        F.concat(F.lit("u"), kseq.cast("string")).alias("commit"),
+        F.lit("python").alias("lang"),
+        F.concat(
+            F.lit("upd-"), ku.cast("string"), F.lit("-"), kf.cast("string")
+        ).alias("content"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        kseq.alias("size_bytes"),
+    )
+    dele = keys.filter(ku % 3 == 1).select(
+        (F.lit(20000) + kseq).alias("commit_seq"),
+        F.lit("delete").alias("op"),
+        krepo.alias("repo"),
+        kpath.alias("path"),
+        F.concat(F.lit("d"), kseq.cast("string")).alias("commit"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("content"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("long").alias("size_bytes"),
+    )
+    new = spark.range(10).select(
+        (F.lit(30000) + F.col("id")).alias("commit_seq"),
+        F.lit("insert").alias("op"),
+        F.concat(F.lit("rn"), F.col("id").cast("string")).alias("repo"),
+        F.lit("new.py").alias("path"),
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("commit"),
+        F.lit("python").alias("lang"),
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("content"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.col("id").cast("long").alias("size_bytes"),
+    )
+    table = ManifestTable.create(spark, root, n_buckets=8)
+    apply_batch(b0, table, "catalog-feed", 0)
+    apply_batch(upd.unionByName(dele).unionByName(new), table,
+                "catalog-feed", 1)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return table
+
+
+@q(
+    "cdc_change_feed",
+    "change data feed between two snapshots (ManifestTable.read_changes, "
+    "the backbone of every index/agg sync — reference analog: incremental "
+    "consumers polling updated_at watermarks, sql/vulnerabilities.sql:"
+    "128-132, here row-level exact). Bucket-pruned: scan ∝ touched "
+    "buckets, never table size",
+    """WITH e AS (
+          SELECT user_id % 97 AS u, event_id % 7 AS f, event_id
+          FROM events WHERE event_id < 4000
+        ),
+        s1 AS (SELECT u, f, max(event_id) AS eid FROM e GROUP BY u, f)
+        SELECT 'r' || CAST(u AS VARCHAR) AS repo,
+               'f' || CAST(f AS VARCHAR) || '.py' AS path,
+               'update' AS _change_type,
+               CAST(10000 + u*7 + f AS BIGINT) AS commit_seq,
+               'upd-' || CAST(u AS VARCHAR) || '-' || CAST(f AS VARCHAR)
+                   AS content
+        FROM s1 WHERE u % 3 = 0
+        UNION ALL
+        SELECT 'r' || CAST(u AS VARCHAR),
+               'f' || CAST(f AS VARCHAR) || '.py',
+               'delete', CAST(eid AS BIGINT), 'v' || CAST(eid AS VARCHAR)
+        FROM s1 WHERE u % 3 = 1
+        UNION ALL
+        SELECT 'rn' || CAST(i AS VARCHAR), 'new.py', 'insert',
+               CAST(30000 + i AS BIGINT), 'n' || CAST(i AS VARCHAR)
+        FROM generate_series(0, 9) t(i)
+        ORDER BY repo, path, _change_type""",
+    note="the oracle derives the expected feed analytically from the "
+    "batch construction: updates carry NEW values, deletes carry the "
+    "last-seen OLD values (LWW winner of batch 0 = max event_id per "
+    "key), untouched keys are absent; an engine that diffed physical "
+    "rows instead of LIVE per-key state would over-report",
+)
+def cdc_change_feed_q(spark, sf):
+    table = _feed_table(spark, sf)
+    snaps = table.snapshots()
+    feed = table.read_changes(
+        snaps[0]["snapshot_id"], snaps[1]["snapshot_id"]
+    )
+    return feed.select(
+        "repo", "path", "_change_type", "commit_seq", "content"
+    ).orderBy("repo", "path", "_change_type")
+
+
+@q(
+    "meta_count_rows",
+    "metadata-only COUNT(*): exact live row count answered from manifest "
+    "statistics with zero data I/O (ManifestTable.count_rows — the "
+    "Iceberg/Delta aggregate-pushdown trick; at 100 TB a compacted "
+    "table's COUNT is driver-side JSON arithmetic)",
+    """WITH e AS (
+          SELECT DISTINCT user_id % 97 AS u, event_id % 7 AS f
+          FROM events WHERE event_id < 4000
+        )
+        SELECT CAST(count(*) FILTER (WHERE u % 3 <> 1) + 10 AS BIGINT)
+                   AS n_rows
+        FROM e""",
+    note="live keys = batch-0 keys minus the u%3==1 tombstoned ones plus "
+    "the 10 new inserts; the engine path must subtract per-bucket "
+    "tombstone counts from per-file row stats without scanning data",
+)
+def meta_count_rows_q(spark, sf):
+    from pyspark.sql import types as T
+
+    table = _feed_table(spark, sf)
+    n = table.count_rows()
+    return spark.createDataFrame(
+        [(int(n),)],
+        T.StructType([T.StructField("n_rows", T.LongType(), False)]),
+    )
 
 
 @q(
@@ -3980,68 +4167,65 @@ def dq_validate(spark, sf):
 # past position 50 remain covered by check_parity + pytest and by their
 # r02/r03 driver rows.
 _DRIVER_PRIORITY = [
-    # never driver-attested before round 4 (registered after position 50)
-    "mg_map_precedence",
-    "mg_rawdata_envelope",
-    "j7_alias_overlap_match",
-    "s8_yaml_advisory_parse",
-    "src_osv_normalize",
-    "src_cve_normalize",
-    "u4_exists_struct_array",
-    "f6_ecosystem_slug",
-    "f2_timestamp_parse",
-    "p5_alias_sanitize",
-    "p10_published_filter",
+    # -- round-5 window (exactly 50 names). Positions 1-12: the entries
+    # the r04 verdict flagged — 6 never driver-attested (they sorted past
+    # position 50 every round), 4 that failed r04 on driver-side
+    # canonicalization (array cells / HUGEINT dtype — projections and
+    # oracles fixed this round), and the 2 entries new this round.
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "samp_source_quota",
+    "tx_unigram_quality",
+    "decon_index_search",
+    "dq_validate_report",
     "mg_alias_closure",
-    "sim_ann_index_topk",
-    "dd_minhash_capped",
-    "dd_ngram_capped",
-    "samp_hash_split",
-    "tx_chunk_documents",
-    "decon_contamination",
-    "tx_tfidf_top_terms",
-    "j8_asof_join",
-    # new this round — need their first driver row
-    "sim_ann_upsert_topk",
-    "dd_dedup_clusters",
-    "corpus_prepare",
-    "samp_stratified",
-    "tx_pack_sequences",
-    "dd_index_dedup",
-    "tx_repetition_stats",
-    "tx_pii_scrub",
-    "tx_length_quantiles",
     "sim_quantize_int8",
-    "samp_shuffle",
-    "mm_resize",
-    "tx_dup_span_coverage",
-    "prof_key_skew",
-    "prof_event_lateness",
-    "samp_mix_domains",
-    "tx_normalize_text",
-    "m3_partial_update_lww",
+    "tx_pack_sequences",
     "ev_sessionize",
-    "ev_funnel",
-    "cdc_scd2_history",
-    "ev_retention_cohorts",
-    "j9_interval_join",
-    "agg_kmv_distinct",
-    "agg_frequent_items",
-    "prof_column_stats",
-    "agg_rollup_hierarchy",
-    "w3_lead_lag_gaps",
-    "tx_line_dedup",
-    # load-bearing keeper (driver-attested in r02+r03; stays in the window)
+    "cdc_change_feed",
+    "meta_count_rows",
+    # -- positions 13-50: re-attest load-bearing / this-round-touched
+    # entries (ngram perf fix, multimodal decode upgrade) plus a rotation
+    # of r03-only attested ones. Everything below has >=1 green driver
+    # row already; entries past 50 keep judge-parity + pytest coverage.
     "m2_cdc_lww_tombstones",
-    # q1_tpch_pricing_summary rotated out for tx_line_dedup: q1 keeps
-    # coverage via the driver's entry() smoke, judge parity, and its
-    # r02+r03 rows.
-    # mm_extract_features, j4_hash_dedup_antijoin, mg_coalesce_fields,
-    # dd_ngram_jaccard, sim_embedding_neardup, j2_broadcast_dim_join,
-    # m1_lww_last_event_per_user, mg_priority_merge and
-    # j1_priority_dedup_join dropped from the window this round (each
-    # attested r02+r03) to keep the driver's 50-entry record on
-    # never-attested work
+    "m1_lww_last_event_per_user",
+    "q1_tpch_pricing_summary",
+    "j1_priority_dedup_join",
+    "dd_ngram_jaccard",
+    "dd_minhash_lsh_candidates",
+    "dd_simhash_pairs",
+    "mm_extract_features",
+    "mm_resize",
+    "mm_sample_frames",
+    "mm_binary_metadata",
+    "sim_cosine_topk",
+    "sim_ann_lsh_topk",
+    "sim_embedding_neardup",
+    "sim_ivf_topk",
+    "sim_centroid_by_label",
+    "tx_token_stats",
+    "tx_quality_score",
+    "tx_lang_id",
+    "tx_fingerprint",
+    "st_windowed_stats",
+    "mg_priority_merge",
+    "mg_coalesce_fields",
+    "mg_richness_merge",
+    "j2_broadcast_dim_join",
+    "j3_point_lookup_join",
+    "j4_hash_dedup_antijoin",
+    "j5_semi_join_exists",
+    "j6_anti_join_not_exists",
+    "w2_sessionization",
+    "a4_multi_metric_stats",
+    "a5_state_pivot_counts",
+    "a6_rollup_counts",
+    "a7_array_dedup_union",
+    "o1_topk_recent",
+    "o2_pagination_offset",
+    "p4_required_field_filter",
+    "f11_json_field_extract",
 ]
 
 
