@@ -43,9 +43,86 @@ def test_frame_sampling_one_to_many(spark):
     assert max(len(v) for v in by_id.values()) >= 1
 
 
-def test_real_decode_is_gated(spark):
-    with pytest.raises(PythonException, match="NotImplementedError"):
+def test_real_decode_rejects_opaque_codecs(spark):
+    # real path decodes PPM only; opaque bytes must fail loudly, not fake
+    with pytest.raises(PythonException, match="PPM"):
         extract_features(_media(spark, 3), decode_stub=False).collect()
+
+
+def test_ppm_codec_roundtrip_and_header_parsing():
+    import numpy as np
+
+    from vuln_datasync_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+
+    # header variants a real P6 reader must accept: comments + extra ws
+    raw = (
+        b"P6 # comment after magic\n# full comment line\n9\t6\n255\n"
+        + img.tobytes()
+    )
+    assert (decode_ppm(raw) == img).all()
+
+    with pytest.raises(ValueError, match="P6"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n4 4\n255\n\x00\x01")
+
+    # nearest-neighbor floor grid: out[y,x] = src[y*H//h2, x*W//w2]
+    small = resize_nearest(img, 3, 2)
+    assert small.shape == (2, 3, 3)
+    for y in range(2):
+        for x in range(3):
+            assert (small[y, x] == img[(y * 6) // 2, (x * 9) // 3]).all()
+    # upscale works too (indices repeat)
+    big = resize_nearest(img, 18, 12)
+    assert big.shape == (12, 18, 3)
+    assert (big[::2, ::2] == img).all()
+
+
+def test_real_ppm_decode_resize_end_to_end(spark):
+    import numpy as np
+
+    from vuln_datasync_spark.operators.multimodal import (
+        decode_ppm,
+        planted_ppm_table,
+        resize_media,
+        resize_nearest,
+    )
+
+    d = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    m = planted_ppm_table(d, "doc_id")
+
+    # payloads are REAL decodable P6 matching the plant rule + meta dims
+    for r in m.collect():
+        img = decode_ppm(bytes(r["content"]))
+        mid = r["media_id"]
+        w, h = mid % 5 + 4, mid % 4 + 3
+        assert img.shape == (h, w, 3)
+        assert (r["meta"]["width"], r["meta"]["height"]) == (w, h)
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        c = np.arange(3)[None, None, :]
+        assert (img == (x * 7 + y * 13 + mid * 3 + c * 29) % 256).all()
+
+    # real resize == numpy reference resample, re-encoded as valid P6
+    src = {r["media_id"]: bytes(r["content"]) for r in m.collect()}
+    out = resize_media(m, 5, 4, decode_stub=False).collect()
+    for r in out:
+        got = decode_ppm(bytes(r["content"]))
+        want = resize_nearest(decode_ppm(src[r["media_id"]]), 5, 4)
+        assert (got == want).all()
+        assert (r["meta"]["width"], r["meta"]["height"]) == (5, 4)
+
+    # real-resize path rejects non-PPM bytes
+    with pytest.raises(PythonException, match="PPM"):
+        resize_media(_media(spark, 3), 5, 4, decode_stub=False).collect()
 
 
 def test_resize_media_size_arithmetic_and_determinism(spark):

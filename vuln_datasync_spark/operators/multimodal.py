@@ -1,12 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched ``mapInPandas`` operators.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-container): ``decode_stub=True`` (default) produces deterministic fake
-features from the bytes; ``decode_stub=False`` raises NotImplementedError
-where a real decoder (PIL/ffmpeg/torchaudio) would plug in. Everything
-around the stub — schema, Arrow batch shape, partitioning, UDF signatures —
-is real and tested.
+Decode support is two-tier:
+
+* **Real decode for uncompressed PPM (P6) images** — a pure-numpy codec
+  (``decode_ppm`` / ``encode_ppm``), honest nearest-neighbor resize, and
+  real pixel-statistic features. No external library needed: P6 is a
+  text header + raw RGB bytes, so ``np.frombuffer`` IS the decoder.
+* **Deterministic stub for every other codec** (JPEG/PNG/audio/video
+  would need PIL/ffmpeg, absent in this container): ``decode_stub=True``
+  (default) produces fake features from the bytes; ``decode_stub=False``
+  decodes PPM payloads for real and raises ValueError on bytes it cannot
+  honestly decode. Everything around the decode — schema, Arrow batch
+  shape, partitioning, UDF signatures — is identical in both tiers.
 
 Scale notes: binary payloads ride the normal parquet path (no driver
 collect); ``mapInPandas`` streams Arrow record batches so executor memory
@@ -57,6 +63,128 @@ def as_media_table(
     )
 
 
+# ---------------------------------------------------------- PPM (P6) codec
+#
+# P6 layout: b"P6" <ws> width <ws> height <ws> maxval <single ws> raw RGB
+# triplets (1 byte/channel when maxval < 256). '#' starts a comment that
+# runs to end-of-line anywhere in the header. Pure numpy: the "decode" of
+# an uncompressed raster is a frombuffer + reshape.
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Serialize an (H, W, 3) uint8 array as a binary PPM (P6)."""
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) array, got {img.shape}")
+    h, w = img.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + np.ascontiguousarray(
+        img, dtype=np.uint8
+    ).tobytes()
+
+
+def decode_ppm(raw: bytes) -> np.ndarray:
+    """Parse a binary PPM (P6) into an (H, W, 3) uint8 array."""
+    if raw[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = magic + 3 ints, whitespace separated, '#' comments allowed;
+    # exactly ONE whitespace byte separates maxval from the raster
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(raw) and raw[pos : pos + 1].isspace():
+            pos += 1
+        if raw[pos : pos + 1] == b"#":
+            while pos < len(raw) and raw[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(raw) and not raw[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(raw[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval >= 256:
+        raise ValueError("16-bit PPM not supported")
+    n = w * h * 3
+    if len(raw) - pos < n:
+        raise ValueError(f"truncated raster: need {n} bytes")
+    return np.frombuffer(raw, dtype=np.uint8, count=n, offset=pos).reshape(
+        h, w, 3
+    )
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample: out[y, x] = src[y*H//height, x*W//width]
+    (floor mapping — the standard integer nearest-neighbor grid)."""
+    src_h, src_w = img.shape[:2]
+    rows = (np.arange(height) * src_h) // height
+    cols = (np.arange(width) * src_w) // width
+    return img[rows][:, cols]
+
+
+def _ppm_pixel_features(img: np.ndarray) -> np.ndarray:
+    """Real decoded-image features, chosen to be EXACTLY representable in
+    float32 (small integers): per-channel sums, global min/max, pixel
+    count, and dimensions. Cross-engine parity holds bit-for-bit — no
+    float mean to drift."""
+    h, w = img.shape[:2]
+    px = img.astype(np.int64)
+    return np.array(
+        [
+            px[:, :, 0].sum(),
+            px[:, :, 1].sum(),
+            px[:, :, 2].sum(),
+            px.min(),
+            px.max(),
+            h * w,
+            w,
+            h,
+        ],
+        dtype=np.float32,
+    )
+
+
+def planted_ppm_table(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic real-PPM fixture: one small RGB image per row with
+    ``pixel(y, x, c) = (x*7 + y*13 + id*3 + c*29) % 256`` and dimensions
+    ``w = id%5 + 4``, ``h = id%4 + 3`` — analytic functions of the id, so
+    a SQL oracle can recompute any pixel statistic without touching
+    bytes. The payloads are REAL P6 files (decodable by any PPM reader)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, contents, metas = [], [], []
+            for mid in pdf["_id"]:
+                mid = int(mid)
+                w, h = mid % 5 + 4, mid % 4 + 3
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                c = np.arange(3)[None, None, :]
+                img = ((x * 7 + y * 13 + mid * 3 + c * 29) % 256).astype(
+                    np.uint8
+                )
+                out_ids.append(mid)
+                contents.append(encode_ppm(img))
+                metas.append(
+                    {
+                        "width": w,
+                        "height": h,
+                        "sample_rate": 0,
+                        "duration_ms": 0,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": out_ids,
+                    "kind": "image/ppm",
+                    "content": contents,
+                    "meta": metas,
+                }
+            )
+
+    return df.select(F.col(id_col).alias("_id")).mapInPandas(
+        op, schema=MEDIA_SCHEMA
+    )
+
+
 def _fake_decode_features(content: bytes, n_dims: int = 8) -> np.ndarray:
     """Deterministic fake 'decoded' feature vector: bytes -> md5-seeded
     pseudo-embedding. Stands in for a real decode+CNN/fbank pipeline."""
@@ -69,16 +197,34 @@ def _fake_decode_features(content: bytes, n_dims: int = 8) -> np.ndarray:
 def extract_features(
     media: DataFrame, n_dims: int = 8, decode_stub: bool = True
 ) -> DataFrame:
-    """Per-item feature extraction over Arrow batches (mapInPandas)."""
+    """Per-item feature extraction over Arrow batches (mapInPandas).
+
+    ``decode_stub=False``: REAL decode — PPM (P6) payloads are parsed
+    with the pure-numpy codec and yield 8 real pixel statistics
+    (``_ppm_pixel_features``: channel sums, min, max, n_pixels, w, h);
+    any other codec raises ValueError (JPEG/PNG/audio would need
+    PIL/ffmpeg, absent here — no silent fake on the real path).
+    ``decode_stub=True`` (default) keeps the deterministic md5-seeded
+    fake for opaque bytes."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg — not in this "
-                    "container; pass decode_stub=True"
-                )
             content = pdf["content"]
+            if decode_stub:
+                feats = [
+                    _fake_decode_features(bytes(c), n_dims) for c in content
+                ]
+            else:
+                feats = []
+                for c in content:
+                    raw = bytes(c)
+                    if raw[:2] != b"P6":
+                        raise ValueError(
+                            "real decode supports PPM (P6) only in this "
+                            "container; other codecs need PIL/ffmpeg — "
+                            "pass decode_stub=True for opaque bytes"
+                        )
+                    feats.append(_ppm_pixel_features(decode_ppm(raw)))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -87,9 +233,7 @@ def extract_features(
                     "content_md5": [
                         hashlib.md5(c).hexdigest() for c in content
                     ],
-                    "feat": [
-                        _fake_decode_features(bytes(c), n_dims) for c in content
-                    ],
+                    "feat": feats,
                 }
             )
 
@@ -132,11 +276,13 @@ def resize_media(
     payload whose size scales with the target/source pixel ratio —
     ``max(1, byte_len * width*height // (src_w*src_h))`` bytes.
 
-    The actual resample is STUBBED like the decoder (``decode_stub=True``
-    derives the new payload deterministically from an md5 chain over the
-    original bytes; ``False`` raises where PIL/ffmpeg would plug in) —
-    the real parts are the Arrow batch shape, the size arithmetic, and
-    the metadata rewrite, all of which survive a swap to a real codec.
+    ``decode_stub=False``: REAL resample — PPM (P6) payloads are decoded
+    with the pure-numpy codec, nearest-neighbor resized
+    (``resize_nearest``: floor grid mapping), and re-encoded as valid
+    P6; other codecs raise ValueError (they would need PIL/ffmpeg).
+    ``decode_stub=True`` (default) keeps the md5-chain stub payload for
+    opaque bytes — there the real parts are the Arrow batch shape, the
+    size arithmetic, and the metadata rewrite.
     Map-only (mapInPandas, no shuffle); output bytes are SMALLER than
     input for downscales, so the stage shrinks data early — the order a
     real pipeline wants at 100 TB (resize before shuffle/store)."""
@@ -153,18 +299,28 @@ def resize_media(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media resize requires PIL/ffmpeg — not in this "
-                    "container; pass decode_stub=True"
-                )
             metas = pdf["meta"]
             contents, ws, hs = [], [], []
             for content, meta in zip(pdf["content"], metas):
                 raw = bytes(content)
-                src_area = max(1, int(meta["width"]) * int(meta["height"]))
-                n = max(1, len(raw) * width * height // src_area)
-                contents.append(_stub_bytes(raw, n))
+                if not decode_stub:
+                    if raw[:2] != b"P6":
+                        raise ValueError(
+                            "real resize supports PPM (P6) only in this "
+                            "container; other codecs need PIL/ffmpeg — "
+                            "pass decode_stub=True for opaque bytes"
+                        )
+                    contents.append(
+                        encode_ppm(
+                            resize_nearest(decode_ppm(raw), width, height)
+                        )
+                    )
+                else:
+                    src_area = max(
+                        1, int(meta["width"]) * int(meta["height"])
+                    )
+                    n = max(1, len(raw) * width * height // src_area)
+                    contents.append(_stub_bytes(raw, n))
                 ws.append(width)
                 hs.append(height)
             yield pd.DataFrame(

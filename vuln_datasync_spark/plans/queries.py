@@ -1814,6 +1814,116 @@ def mm_resize(spark, sf):
 
 
 @q(
+    "mm_decode_ppm_features",
+    "multimodal: REAL image decode — planted PPM (P6) payloads parsed by "
+    "the pure-numpy codec (operators/multimodal.py decode_ppm, "
+    "decode_stub=False) and reduced to exact pixel statistics; the "
+    "oracle recomputes every pixel analytically from the plant rule "
+    "pixel(y,x,c) = (x*7 + y*13 + id*3 + c*29) % 256",
+    """WITH d AS (
+          SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 4 + 3 AS h
+          FROM documents
+        ),
+        px AS (
+          SELECT d.doc_id, d.w, d.h,
+                 (x.x*7 + y.y*13 + d.doc_id*3) % 256 AS r,
+                 (x.x*7 + y.y*13 + d.doc_id*3 + 29) % 256 AS g,
+                 (x.x*7 + y.y*13 + d.doc_id*3 + 58) % 256 AS b
+          FROM d, generate_series(0, 7) x(x), generate_series(0, 5) y(y)
+          WHERE x.x < d.w AND y.y < d.h
+        )
+        SELECT doc_id AS media_id,
+               CAST(11 + 3*w*h AS BIGINT) AS byte_len,
+               CAST(sum(r) AS BIGINT) AS sum_r,
+               CAST(sum(g) AS BIGINT) AS sum_g,
+               CAST(sum(b) AS BIGINT) AS sum_b,
+               CAST(min(least(r, g, b)) AS BIGINT) AS px_min,
+               CAST(max(greatest(r, g, b)) AS BIGINT) AS px_max,
+               CAST(w*h AS BIGINT) AS n_px,
+               CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
+        FROM px GROUP BY doc_id, w, h ORDER BY media_id""",
+    note="byte_len = 11-byte P6 header (single-digit dims) + 3*w*h raster "
+    "— a wrong encoder shifts it; features are small integers so the "
+    "float32 feat array is bit-exact (no mean/stddev drift). This is the "
+    "honest-decode half of the multimodal surface; opaque codecs keep "
+    "the documented stub",
+)
+def mm_ppm_features(spark, sf):
+    from ..operators.multimodal import extract_features, planted_ppm_table
+
+    m = planted_ppm_table(_t(spark, sf, "documents"), "doc_id")
+    f = extract_features(m, decode_stub=False)
+    return f.select(
+        "media_id",
+        "byte_len",
+        F.col("feat")[0].cast("long").alias("sum_r"),
+        F.col("feat")[1].cast("long").alias("sum_g"),
+        F.col("feat")[2].cast("long").alias("sum_b"),
+        F.col("feat")[3].cast("long").alias("px_min"),
+        F.col("feat")[4].cast("long").alias("px_max"),
+        F.col("feat")[5].cast("long").alias("n_px"),
+        F.col("feat")[6].cast("long").alias("width"),
+        F.col("feat")[7].cast("long").alias("height"),
+    ).orderBy("media_id")
+
+
+@q(
+    "mm_resize_ppm",
+    "multimodal: REAL nearest-neighbor image resize — PPM payloads "
+    "decoded, resampled on the floor grid out[y,x] = src(y*H//4, x*W//5), "
+    "re-encoded as valid P6, then re-decoded for stats "
+    "(operators/multimodal.py resize_media/resize_nearest, "
+    "decode_stub=False); the oracle recomputes the resampled pixels "
+    "analytically",
+    """WITH d AS (
+          SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 4 + 3 AS h
+          FROM documents
+        ),
+        px AS (
+          SELECT d.doc_id,
+                 (((x2.x*d.w)//5)*7 + ((y2.y*d.h)//4)*13 + d.doc_id*3)
+                     % 256 AS r,
+                 (((x2.x*d.w)//5)*7 + ((y2.y*d.h)//4)*13 + d.doc_id*3
+                     + 29) % 256 AS g,
+                 (((x2.x*d.w)//5)*7 + ((y2.y*d.h)//4)*13 + d.doc_id*3
+                     + 58) % 256 AS b
+          FROM d, generate_series(0, 4) x2(x), generate_series(0, 3) y2(y)
+        )
+        SELECT doc_id AS media_id,
+               CAST(71 AS BIGINT) AS byte_len,
+               CAST(sum(r) AS BIGINT) AS sum_r,
+               CAST(sum(g) AS BIGINT) AS sum_g,
+               CAST(sum(b) AS BIGINT) AS sum_b,
+               CAST(min(least(r, g, b)) AS BIGINT) AS px_min,
+               CAST(max(greatest(r, g, b)) AS BIGINT) AS px_max
+        FROM px GROUP BY doc_id ORDER BY media_id""",
+    note="every source image lands at 5x4 (71 bytes = 11-byte header + "
+    "60-byte raster); the per-channel sums of the RESAMPLED image verify "
+    "the index mapping — an off-by-one in the floor grid (e.g. "
+    "round-half semantics) picks different source pixels and mismatches",
+)
+def mm_ppm_resize(spark, sf):
+    from ..operators.multimodal import (
+        extract_features,
+        planted_ppm_table,
+        resize_media,
+    )
+
+    m = planted_ppm_table(_t(spark, sf, "documents"), "doc_id")
+    r = resize_media(m, 5, 4, decode_stub=False)
+    f = extract_features(r, decode_stub=False)
+    return f.select(
+        "media_id",
+        "byte_len",
+        F.col("feat")[0].cast("long").alias("sum_r"),
+        F.col("feat")[1].cast("long").alias("sum_g"),
+        F.col("feat")[2].cast("long").alias("sum_b"),
+        F.col("feat")[3].cast("long").alias("px_min"),
+        F.col("feat")[4].cast("long").alias("px_max"),
+    ).orderBy("media_id")
+
+
+@q(
     "mm_sample_frames",
     "multimodal: frame sampling (1:N mapInPandas)",
     """WITH m AS (SELECT doc_id, text, strlen(text) AS n_bytes
@@ -4195,8 +4305,10 @@ _DRIVER_PRIORITY = [
     "dd_ngram_jaccard",
     "dd_minhash_lsh_candidates",
     "dd_simhash_pairs",
-    "mm_extract_features",
-    "mm_resize",
+    # real-decode multimodal entries supersede the stub-plumbing pair in
+    # the window (mm_extract_features / mm_resize keep their r03/r04 rows)
+    "mm_decode_ppm_features",
+    "mm_resize_ppm",
     "mm_sample_frames",
     "mm_binary_metadata",
     "sim_cosine_topk",
