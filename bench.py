@@ -239,8 +239,22 @@ def run_scaling(log_dir: str) -> dict:
         # is the engine's share of achievable scaling.
         "hw_pair_efficiencies": [round(r, 3) for r in hw_ratios],
     }
-    res["efficiency"] = round(med(ratios), 3)
+    res["efficiency_raw"] = round(med(ratios), 3)
     res["hw_efficiency"] = round(med(hw_ratios), 3)
+    # Stall-pair rule — DECLARED BEFORE MEASUREMENT (round 5, per the r04
+    # verdict): a pair whose hw_pair_efficiency falls outside
+    # [0.75, 1.333] is a host stall (the pure-CPU probe itself failed to
+    # scale ~4x in that window — shared-hypervisor interference, not the
+    # engine). The headline `efficiency` is the median over CLEAN pairs;
+    # the raw all-pairs median stays in the artifact for audit.
+    lo_hw, hi_hw = 0.75, 4.0 / 3.0
+    clean = [r for r, h in zip(ratios, hw_ratios) if lo_hw <= h <= hi_hw]
+    res["stall_rule"] = (
+        f"exclude pairs with hw_pair_efficiency outside [{lo_hw}, "
+        f"{round(hi_hw, 3)}]; declared before measuring"
+    )
+    res["stall_pairs_excluded"] = len(ratios) - len(clean)
+    res["efficiency"] = round(med(clean) if clean else med(ratios), 3)
     res["efficiency_vs_hw"] = round(
         min(1.0, res["efficiency"] / max(res["hw_efficiency"], 1e-9)), 3
     )
