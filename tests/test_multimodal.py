@@ -159,3 +159,87 @@ def test_resize_media_size_arithmetic_and_determinism(spark):
         resize_media(m, 0, 64)
     with pytest.raises(Exception):
         resize_media(m, 64, 64, decode_stub=False).collect()
+
+
+def test_wav_codec_roundtrip_and_resample():
+    import numpy as np
+
+    from vuln_datasync_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        resample_nearest_audio,
+    )
+
+    rng = np.random.default_rng(5)
+    mono = rng.integers(-32768, 32768, size=60, dtype=np.int16)
+    s, rate = decode_wav(encode_wav(mono, 16000))
+    assert rate == 16000 and s.shape == (60, 1) and (s[:, 0] == mono).all()
+
+    stereo = rng.integers(-32768, 32768, size=(40, 2), dtype=np.int16)
+    s2, r2 = decode_wav(encode_wav(stereo, 8000))
+    assert r2 == 8000 and (s2 == stereo).all()
+
+    # unknown chunks must be skipped by declared size (LIST/INFO etc.)
+    raw = encode_wav(mono, 16000)
+    import struct
+
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded
+    spliced = raw[:12] + extra + raw[12:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    s3, r3 = decode_wav(spliced)
+    assert r3 == 16000 and (s3[:, 0] == mono).all()
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS....")
+
+    # nearest-neighbor pick: out[t] = src[t*n//m]
+    out = resample_nearest_audio(stereo, 8000, 4000)
+    assert out.shape == (20, 2)
+    assert (out == stereo[(np.arange(20) * 40) // 20]).all()
+
+
+def test_real_wav_decode_resample_end_to_end(spark):
+    import numpy as np
+
+    from vuln_datasync_spark.operators.multimodal import (
+        decode_wav,
+        extract_features,
+        planted_wav_table,
+        resample_media,
+    )
+
+    d = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    m = planted_wav_table(d, "doc_id")
+    for r in m.collect():
+        s, rate = decode_wav(bytes(r["content"]))
+        mid = r["media_id"]
+        n = mid % 50 + 20
+        assert rate == 8000 + (mid % 3) * 4000 and s.shape == (n, 1)
+        t = np.arange(n)
+        assert (s[:, 0] == ((t * 31 + mid * 17) % 4096 - 2048)).all()
+        assert r["meta"]["duration_ms"] == n * 1000 // rate
+
+    # real features route by magic bytes (RIFF -> audio stats)
+    f = {r["media_id"]: r for r in
+         extract_features(m, decode_stub=False).collect()}
+    for mid, r in f.items():
+        n = mid % 50 + 20
+        assert int(r["feat"][3]) == n
+        assert int(r["feat"][4]) == 8000 + (mid % 3) * 4000
+
+    # resample == numpy reference, meta rewritten
+    out = resample_media(m, 6000).collect()
+    for r in out:
+        s, rate = decode_wav(bytes(r["content"]))
+        mid = r["media_id"]
+        n = mid % 50 + 20
+        src_rate = 8000 + (mid % 3) * 4000
+        m_out = max(1, n * 6000 // src_rate)
+        assert rate == 6000 and s.shape == (m_out, 1)
+        idx = (np.arange(m_out) * n) // m_out
+        assert (s[:, 0] == ((idx * 31 + mid * 17) % 4096 - 2048)).all()
+        assert r["meta"]["sample_rate"] == 6000
+
+    # non-WAV bytes fail loudly on the real resample path
+    with pytest.raises(PythonException, match="WAV"):
+        resample_media(_media(spark, 3), 6000).collect()

@@ -185,6 +185,177 @@ def planted_ppm_table(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- WAV (PCM) codec
+#
+# RIFF/WAVE with a 16-byte PCM fmt chunk and int16 LE samples — like PPM,
+# an uncompressed raster where np.frombuffer IS the decoder. Unknown
+# chunks (LIST/INFO etc.) are skipped by their declared size, as a real
+# reader must.
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Serialize int16 samples ((n,) mono or (n, ch)) as PCM WAV."""
+    import struct
+
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = np.ascontiguousarray(s).tobytes()
+    block = ch * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * block, block, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(raw: bytes) -> tuple[np.ndarray, int]:
+    """Parse a PCM WAV into ((n, ch) int16 array, sample_rate)."""
+    import struct
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        body = raw[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, ch, rate, _brate, _block, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (fmt={audio_format}, bits={bits})")
+    n = len(data) // (ch * 2)
+    return (
+        np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch),
+        rate,
+    )
+
+
+def resample_nearest_audio(
+    samples: np.ndarray, src_rate: int, target_rate: int
+) -> np.ndarray:
+    """Nearest-neighbor (sample-pick) resample: out has
+    ``n_out = n_src * target_rate // src_rate`` frames and
+    ``out[t] = src[t * n_src // n_out]`` — the audio analog of the image
+    floor grid; exact, no interpolation, SQL-reproducible."""
+    n_src = samples.shape[0]
+    n_out = max(1, n_src * target_rate // src_rate)
+    idx = (np.arange(n_out) * n_src) // n_out
+    return samples[idx]
+
+
+def _wav_pixel_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """Real decoded-audio features as exactly-float32-representable small
+    integers: total sum, min, max, frame count, rate, channels (+ zero
+    padding to the 8-dim feat shape)."""
+    s = samples.astype(np.int64)
+    return np.array(
+        [
+            s.sum(),
+            s.min(),
+            s.max(),
+            samples.shape[0],
+            rate,
+            samples.shape[1],
+            0,
+            0,
+        ],
+        dtype=np.float32,
+    )
+
+
+def planted_wav_table(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic real-WAV fixture: mono int16 clips with
+    ``sample(t) = ((t*31 + id*17) % 4096) - 2048``, ``n = id%50 + 20``
+    frames at ``rate = 8000 + (id%3)*4000`` — analytic in the id, so SQL
+    oracles recompute any sample statistic. Payloads are REAL PCM WAV."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, contents, metas = [], [], []
+            for mid in pdf["_id"]:
+                mid = int(mid)
+                n = mid % 50 + 20
+                rate = 8000 + (mid % 3) * 4000
+                t = np.arange(n, dtype=np.int64)
+                s = ((t * 31 + mid * 17) % 4096 - 2048).astype(np.int16)
+                ids.append(mid)
+                contents.append(encode_wav(s, rate))
+                metas.append(
+                    {
+                        "width": 0,
+                        "height": 0,
+                        "sample_rate": rate,
+                        "duration_ms": n * 1000 // rate,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "audio/wav",
+                    "content": contents,
+                    "meta": metas,
+                }
+            )
+
+    return df.select(F.col(id_col).alias("_id")).mapInPandas(
+        op, schema=MEDIA_SCHEMA
+    )
+
+
+def resample_media(media: DataFrame, target_rate: int) -> DataFrame:
+    """REAL audio resample over Arrow batches: decode PCM WAV, pick
+    samples on the nearest-neighbor grid, re-encode at ``target_rate``,
+    rewrite ``meta.sample_rate``/``duration_ms``. Map-only; a downsample
+    shrinks payloads before any shuffle/store (the 100 TB-friendly
+    order). Non-WAV bytes raise ValueError."""
+    if target_rate <= 0:
+        raise ValueError(f"target_rate must be positive: {target_rate}")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents, metas = [], []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                raw = bytes(content)
+                if raw[:4] != b"RIFF":
+                    raise ValueError(
+                        "resample_media supports PCM WAV only; other "
+                        "codecs need ffmpeg"
+                    )
+                s, _rate = decode_wav(raw)
+                out = resample_nearest_audio(s, _rate, target_rate)
+                contents.append(encode_wav(out, target_rate))
+                metas.append(
+                    {
+                        "width": int(meta["width"]),
+                        "height": int(meta["height"]),
+                        "sample_rate": target_rate,
+                        "duration_ms": out.shape[0] * 1000 // target_rate,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": contents,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
 def _fake_decode_features(content: bytes, n_dims: int = 8) -> np.ndarray:
     """Deterministic fake 'decoded' feature vector: bytes -> md5-seeded
     pseudo-embedding. Stands in for a real decode+CNN/fbank pipeline."""
@@ -199,13 +370,13 @@ def extract_features(
 ) -> DataFrame:
     """Per-item feature extraction over Arrow batches (mapInPandas).
 
-    ``decode_stub=False``: REAL decode — PPM (P6) payloads are parsed
-    with the pure-numpy codec and yield 8 real pixel statistics
-    (``_ppm_pixel_features``: channel sums, min, max, n_pixels, w, h);
-    any other codec raises ValueError (JPEG/PNG/audio would need
-    PIL/ffmpeg, absent here — no silent fake on the real path).
-    ``decode_stub=True`` (default) keeps the deterministic md5-seeded
-    fake for opaque bytes."""
+    ``decode_stub=False``: REAL decode — PPM (P6) images and PCM WAV
+    audio are parsed with the pure-numpy codecs and yield 8 real
+    statistics (images: channel sums/min/max/n_px/w/h; audio: sample
+    sum/min/max/frames/rate/channels); any other codec raises ValueError
+    (JPEG/PNG/compressed audio would need PIL/ffmpeg, absent here — no
+    silent fake on the real path). ``decode_stub=True`` (default) keeps
+    the deterministic md5-seeded fake for opaque bytes."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -218,13 +389,17 @@ def extract_features(
                 feats = []
                 for c in content:
                     raw = bytes(c)
-                    if raw[:2] != b"P6":
+                    if raw[:2] == b"P6":
+                        feats.append(_ppm_pixel_features(decode_ppm(raw)))
+                    elif raw[:4] == b"RIFF":
+                        feats.append(_wav_pixel_features(*decode_wav(raw)))
+                    else:
                         raise ValueError(
-                            "real decode supports PPM (P6) only in this "
-                            "container; other codecs need PIL/ffmpeg — "
-                            "pass decode_stub=True for opaque bytes"
+                            "real decode supports PPM (P6) images and PCM "
+                            "WAV audio in this container; other codecs "
+                            "need PIL/ffmpeg — pass decode_stub=True for "
+                            "opaque bytes"
                         )
-                    feats.append(_ppm_pixel_features(decode_ppm(raw)))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

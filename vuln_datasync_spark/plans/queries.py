@@ -1924,6 +1924,100 @@ def mm_ppm_resize(spark, sf):
 
 
 @q(
+    "mm_decode_wav_features",
+    "multimodal: REAL audio decode — planted PCM WAV payloads parsed by "
+    "the pure-numpy RIFF codec (operators/multimodal.py decode_wav, "
+    "decode_stub=False) and reduced to exact sample statistics; the "
+    "oracle recomputes every sample analytically from the plant rule "
+    "sample(t) = ((t*31 + id*17) % 4096) - 2048",
+    """WITH d AS (
+          SELECT doc_id, doc_id % 50 + 20 AS n,
+                 8000 + (doc_id % 3)*4000 AS rate
+          FROM documents
+        ),
+        s AS (
+          SELECT d.doc_id, d.n, d.rate,
+                 ((t.t*31 + d.doc_id*17) % 4096) - 2048 AS v
+          FROM d, generate_series(0, 69) t(t) WHERE t.t < d.n
+        )
+        SELECT doc_id AS media_id,
+               CAST(44 + 2*n AS BIGINT) AS byte_len,
+               CAST(sum(v) AS BIGINT) AS sum_s,
+               CAST(min(v) AS BIGINT) AS s_min,
+               CAST(max(v) AS BIGINT) AS s_max,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(rate AS BIGINT) AS sample_rate
+        FROM s GROUP BY doc_id, n, rate ORDER BY media_id""",
+    note="byte_len = 44-byte RIFF/fmt/data header + 2 bytes per int16 "
+    "frame — a wrong encoder shifts it; sample stats are small integers "
+    "so the float32 feat array is bit-exact. Second REAL modality next "
+    "to PPM images; compressed codecs keep the documented stub",
+)
+def mm_wav_features(spark, sf):
+    from ..operators.multimodal import extract_features, planted_wav_table
+
+    m = planted_wav_table(_t(spark, sf, "documents"), "doc_id")
+    f = extract_features(m, decode_stub=False)
+    return f.select(
+        "media_id",
+        "byte_len",
+        F.col("feat")[0].cast("long").alias("sum_s"),
+        F.col("feat")[1].cast("long").alias("s_min"),
+        F.col("feat")[2].cast("long").alias("s_max"),
+        F.col("feat")[3].cast("long").alias("n_samples"),
+        F.col("feat")[4].cast("long").alias("sample_rate"),
+    ).orderBy("media_id")
+
+
+@q(
+    "mm_resample_wav",
+    "multimodal: REAL audio resample — PCM WAV decoded, sample-picked on "
+    "the nearest-neighbor grid out[t] = src[t*n//m] to 6 kHz, re-encoded "
+    "(operators/multimodal.py resample_media/resample_nearest_audio); "
+    "the oracle recomputes the picked samples analytically",
+    """WITH d AS (
+          SELECT doc_id, doc_id % 50 + 20 AS n,
+                 8000 + (doc_id % 3)*4000 AS rate
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, n, greatest(1, (n*6000)//rate) AS m FROM d
+        ),
+        s AS (
+          SELECT r.doc_id, r.m,
+                 ((((t.t*r.n)//r.m)*31 + r.doc_id*17) % 4096) - 2048 AS v
+          FROM r, generate_series(0, 69) t(t) WHERE t.t < r.m
+        )
+        SELECT doc_id AS media_id,
+               CAST(44 + 2*m AS BIGINT) AS byte_len,
+               CAST(sum(v) AS BIGINT) AS sum_s,
+               CAST(m AS BIGINT) AS n_samples,
+               CAST(6000 AS BIGINT) AS sample_rate
+        FROM s GROUP BY doc_id, m ORDER BY media_id""",
+    note="m = n*target//src frames; the sum of the RESAMPLED clip "
+    "verifies the pick indices — an interpolating or round-half "
+    "resampler picks different source frames and mismatches",
+)
+def mm_wav_resample(spark, sf):
+    from ..operators.multimodal import (
+        extract_features,
+        planted_wav_table,
+        resample_media,
+    )
+
+    m = planted_wav_table(_t(spark, sf, "documents"), "doc_id")
+    r = resample_media(m, 6000)
+    f = extract_features(r, decode_stub=False)
+    return f.select(
+        "media_id",
+        "byte_len",
+        F.col("feat")[0].cast("long").alias("sum_s"),
+        F.col("feat")[3].cast("long").alias("n_samples"),
+        F.col("feat")[4].cast("long").alias("sample_rate"),
+    ).orderBy("media_id")
+
+
+@q(
     "mm_sample_frames",
     "multimodal: frame sampling (1:N mapInPandas)",
     """WITH m AS (SELECT doc_id, text, strlen(text) AS n_bytes
@@ -4309,6 +4403,8 @@ _DRIVER_PRIORITY = [
     # the window (mm_extract_features / mm_resize keep their r03/r04 rows)
     "mm_decode_ppm_features",
     "mm_resize_ppm",
+    "mm_decode_wav_features",
+    "mm_resample_wav",
     "mm_sample_frames",
     "mm_binary_metadata",
     "sim_cosine_topk",
@@ -4336,8 +4432,9 @@ _DRIVER_PRIORITY = [
     "a7_array_dedup_union",
     "o1_topk_recent",
     "o2_pagination_offset",
-    "p4_required_field_filter",
-    "f11_json_field_extract",
+    # p4_required_field_filter / f11_json_field_extract rotated out for
+    # the two WAV real-decode entries (both attested r03; still covered
+    # by judge parity + pytest)
 ]
 
 

@@ -296,6 +296,7 @@ def run_stream(
     branch: str | None = None,
     contract_rules: list[dict] | None = None,
     contract_mode: str = "reject",
+    pool: str | None = None,
 ):
     """Tail a changelog directory (file source stands in for the Iceberg/
     Kafka changelog; offsets live in the Structured Streaming checkpoint)
@@ -308,6 +309,13 @@ def run_stream(
 
     ``on_batch(batch_id, lineage)`` is a test hook (e.g. simulate a crash
     between sink commit and checkpoint commit).
+
+    ``pool``: route this stream's micro-batch jobs to a weighted FAIR
+    scheduler pool (full/incremental/export, weights 6/3/1 — the
+    reference's Asynq queue priorities, internal/jobs/server.go:64-79).
+    The session must be built with ``get_spark(fair_pools=True)``; each
+    foreachBatch invocation re-asserts the pool on its own thread, since
+    Spark resolves pools from a thread-local property.
     """
     if os.path.exists(os.path.join(table_root, "_table.json")):
         table = ManifestTable(spark, table_root)
@@ -327,6 +335,10 @@ def run_stream(
     stream = reader.parquet(changelog_dir)
 
     def process(batch_df: DataFrame, batch_id: int):
+        if pool is not None:
+            from ..session import set_job_pool
+
+            set_job_pool(spark, pool)
         lineage = apply_batch(
             batch_df,
             table,
