@@ -150,3 +150,47 @@ def test_frequent_items_misra_gries_superset_under_adversarial_skew(spark):
         if c >= 21:
             want[f"k{i}"] = c
     assert got == want
+
+
+def test_kmv_sketch_merge_equals_direct(spark):
+    """Sketch algebra is EXACT: merging per-segment sketches must equal
+    sketching the unioned data bit-for-bit, and residual-group merges
+    must equal direct per-group estimates."""
+    from pyspark.sql import functions as F
+
+    from vuln_datasync_spark.operators.sketch import (
+        kmv_distinct,
+        kmv_merge_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.range(30000).select(
+        (F.col("id") % 7).alias("seg"),
+        (F.col("id") % 2).alias("side"),
+        (F.col("id") % 4111).alias("v"),
+    )
+    k = 64
+    # global: merge 7 segment sketches == direct estimate over the union
+    sk = kmv_sketch(df, ["seg"], "v", k=k)
+    merged = kmv_merge_estimate(sk, k=k).collect()
+    direct = kmv_distinct(df.select(F.lit(1).alias("g"), "v"), ["g"], "v", k=k).collect()
+    assert len(merged) == 1
+    assert merged[0]["est_distinct"] == direct[0]["est_distinct"]
+
+    # residual group: (seg, side) sketches merged over seg == per-side direct
+    sk2 = kmv_sketch(df, ["seg", "side"], "v", k=k)
+    merged2 = {
+        r["side"]: r["est_distinct"]
+        for r in kmv_merge_estimate(sk2, k=k, group_cols=["side"]).collect()
+    }
+    direct2 = {
+        r["side"]: r["est_distinct"]
+        for r in kmv_distinct(df, ["side"], "v", k=k).collect()
+    }
+    assert merged2 == direct2
+
+    # sketch arrays are sorted, bounded by k, and exact below k
+    small = kmv_sketch(df.filter(F.col("v") < 10), ["side"], "v", k=k)
+    for r in small.collect():
+        hs = list(r["hashes"])
+        assert hs == sorted(hs) and len(hs) <= 10

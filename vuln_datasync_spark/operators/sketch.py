@@ -81,10 +81,81 @@ def kmv_distinct(
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
     gc = list(group_cols)
+    ranked = _kmv_ranked(kmv_candidates(df, gc, value_col, k), gc)
+    return (
+        ranked.filter(F.col("_rn") == F.least(F.col("_nd"), F.lit(k)))
+        .select(*gc, _kmv_est_col(k).alias("est_distinct"))
+    )
+
+
+def _kmv_ranked(cand: DataFrame, gc: list[str]) -> DataFrame:
+    """Global rank of the distinct candidate hashes per group (candidate
+    frame only — bytes ∝ partitions*k, never ∝ distinct)."""
+    distinct = cand.groupBy(*gc, "_h").agg(F.lit(1).alias("_one")).drop(
+        "_one"
+    )
+    w = W.partitionBy(*gc).orderBy("_h")
+    return distinct.select(
+        *gc,
+        "_h",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(W.partitionBy(*gc)).alias("_nd"),
+    )
+
+
+def _kmv_est_col(k: int) -> F.Column:
+    """Estimate from the row holding the least(nd, k)-th smallest hash."""
+    return (
+        F.when(F.col("_nd") < k, F.col("_nd"))
+        .otherwise(
+            F.floor(
+                F.lit(float(k - 1) * _SCALE) / F.col("_h").cast("double")
+            )
+        )
+        .cast("long")
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Materialized MERGEABLE sketch: one row per group with ``hashes`` =
+    the sorted k smallest distinct 60-bit hashes (array<long>, shorter
+    when the group has fewer distinct values) and ``k``.
+
+    This is the segment-sketch half of the 100 TB pattern: compute one
+    sketch per partition/day/source ONCE, persist the tiny rows, and
+    answer distinct-count questions over ANY union of segments later
+    via :func:`kmv_merge_estimate` — no rescan of the data. Merge is
+    EXACT sketch algebra, not an approximation of an approximation: a
+    hash among the k smallest of a union is necessarily among the k
+    smallest of its own segment, so re-ranking the unioned sketch arrays
+    reproduces the sketch of the unioned DATA bit-for-bit.
+    """
+    gc = list(group_cols)
+    ranked = _kmv_ranked(
+        kmv_candidates(df, gc, value_col, k), gc
+    ).filter(F.col("_rn") <= k)
+    return ranked.groupBy(*gc).agg(
+        F.array_sort(F.collect_list("_h")).alias("hashes"),
+        F.lit(k).alias("k"),
+    )
+
+
+def kmv_candidates(
+    df: DataFrame, gc: list[str], value_col: str, k: int
+) -> DataFrame:
+    """Internal: the bounded per-partition candidate pass shared by
+    kmv_distinct and kmv_sketch (k smallest distinct hashes per group
+    per partition)."""
+    # route through kmv_distinct's generator by rebuilding its inputs —
+    # kept as a thin seam so both public ops stay plan-identical
     hashed = df.select(
         *gc, _h60(F.col(value_col).cast("string")).alias("_h")
     ).filter(F.col("_h").isNotNull())
-
     fields = [hashed.schema[c] for c in gc]
     out_schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in fields]
@@ -110,39 +181,37 @@ def kmv_distinct(
         if not state:
             return
         keys = list(state)
-        out = pd.DataFrame(
+        yield pd.DataFrame(
             [k_ + (int(h),) for k_ in keys for h in state[k_]],
             columns=gc + ["_h"],
         )
-        yield out
 
-    cand = hashed.mapInPandas(gen, out_schema)
-    # global k smallest distinct hashes per group (candidate frame only)
-    distinct = cand.groupBy(*gc, "_h").agg(F.lit(1).alias("_one")).drop(
-        "_one"
+    return hashed.mapInPandas(gen, out_schema)
+
+
+def kmv_merge_estimate(
+    sketches: DataFrame,
+    k: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Distinct-count estimate over a UNION of segments from their
+    persisted sketches alone (``hashes`` array rows from
+    :func:`kmv_sketch`) — zero data rescan, input bytes ∝ segments*k.
+
+    ``group_cols=None`` merges everything into one global row
+    (``est_distinct`` only); otherwise one row per residual group (e.g.
+    sketches per (day, event_type) merged over days -> per event_type).
+    Intersection estimates follow by inclusion-exclusion on these
+    outputs: |A ∩ B| ≈ est(A) + est(B) - est(A ∪ B)."""
+    gc = list(group_cols or [])
+    exploded = sketches.select(
+        *gc, F.explode("hashes").alias("_h")
     )
-    w = W.partitionBy(*gc).orderBy("_h")
-    ranked = distinct.select(
-        *gc,
-        "_h",
-        F.row_number().over(w).alias("_rn"),
-        F.count("*").over(W.partitionBy(*gc)).alias("_nd"),
-    )
-    return (
-        ranked.filter(F.col("_rn") == F.least(F.col("_nd"), F.lit(kk)))
-        .select(
-            *gc,
-            F.when(F.col("_nd") < kk, F.col("_nd"))
-            .otherwise(
-                F.floor(
-                    F.lit(float(kk - 1) * _SCALE)
-                    / F.col("_h").cast("double")
-                )
-            )
-            .cast("long")
-            .alias("est_distinct"),
-        )
-    )
+    ranked = _kmv_ranked(exploded, gc)
+    out = ranked.filter(
+        F.col("_rn") == F.least(F.col("_nd"), F.lit(k))
+    ).select(*gc, _kmv_est_col(k).alias("est_distinct"))
+    return out
 
 
 def frequent_items(

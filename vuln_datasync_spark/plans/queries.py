@@ -3932,6 +3932,44 @@ def agg_kmv(spark, sf):
 
 
 @q(
+    "agg_kmv_union",
+    "mergeable sketch ALGEBRA: per-segment KMV sketches (one per "
+    "event_type) merged into the global distinct-user estimate WITHOUT "
+    "rescanning the data (operators/sketch.py kmv_sketch / "
+    "kmv_merge_estimate). The 100 TB pattern: persist tiny per-day/"
+    "per-source sketch rows once, answer distinct counts over any union "
+    "of segments later from sketches alone",
+    """WITH h AS (
+          SELECT DISTINCT CAST(concat('0x', substring(
+                     md5(CAST(user_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+                     AS _h
+          FROM events WHERE user_id IS NOT NULL
+        ), r AS (
+          SELECT _h, row_number() OVER (ORDER BY _h) AS rn,
+                 count(*) OVER () AS nd
+          FROM h
+        )
+        SELECT CAST(CASE WHEN nd < 64 THEN nd
+                    ELSE floor(63.0 * 1152921504606846976.0
+                               / CAST(_h AS DOUBLE)) END AS BIGINT)
+                   AS est_distinct
+        FROM r WHERE rn = least(nd, 64)""",
+    note="the oracle computes the KMV estimate DIRECTLY over the union "
+    "of all events — the engine path must reproduce it bit-for-bit from "
+    "the per-segment sketches, which holds because sketch union is "
+    "exact: a hash among the global k smallest is necessarily among its "
+    "own segment's k smallest, so re-ranking the unioned arrays equals "
+    "sketching the unioned data",
+)
+def agg_kmv_union_q(spark, sf):
+    from ..operators.sketch import kmv_merge_estimate, kmv_sketch
+
+    ev = _t(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    sk = kmv_sketch(ev, ["event_type"], "user_id", k=64)
+    return kmv_merge_estimate(sk, k=64)
+
+
+@q(
     "agg_frequent_items",
     "exact heavy hitters: users with >= 70 events via per-partition "
     "Misra-Gries candidate summaries + exact recount of candidates only "
@@ -4431,10 +4469,11 @@ _DRIVER_PRIORITY = [
     "a6_rollup_counts",
     "a7_array_dedup_union",
     "o1_topk_recent",
-    "o2_pagination_offset",
+    "agg_kmv_union",
     # p4_required_field_filter / f11_json_field_extract rotated out for
-    # the two WAV real-decode entries (both attested r03; still covered
-    # by judge parity + pytest)
+    # the two WAV real-decode entries, o2_pagination_offset for
+    # agg_kmv_union (all attested r03; still covered by judge parity +
+    # pytest)
 ]
 
 
