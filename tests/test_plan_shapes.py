@@ -182,3 +182,38 @@ def test_bucketed_join_elides_both_exchanges(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS _psb_facts")
         spark.sql("DROP TABLE IF EXISTS _psb_dims")
+
+
+def test_multimodal_real_decode_is_map_only(spark):
+    """planted_ppm_table -> resize -> extract_features is a pure map
+    pipeline: any Exchange means the media pipeline started shuffling
+    payload bytes — the exact thing the 100 TB design forbids before
+    the (tiny) feature output exists."""
+    from vuln_datasync_spark.operators.multimodal import (
+        extract_features,
+        planted_ppm_table,
+        resize_media,
+    )
+
+    d = spark.range(50).selectExpr("id as doc_id")
+    m = planted_ppm_table(d, "doc_id")
+    f = extract_features(resize_media(m, 5, 4, decode_stub=False),
+                         decode_stub=False)
+    assert "Exchange" not in _plan(f)
+
+
+def test_kmv_merge_estimate_input_is_sketch_sized(spark):
+    """kmv_merge_estimate must plan over the exploded sketch arrays
+    (segments*k rows), never re-scan source data: its plan contains no
+    parquet scan and exactly the candidate-frame shuffle."""
+    from vuln_datasync_spark.operators.sketch import (
+        kmv_merge_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.range(5000).selectExpr(
+        "id % 4 as seg", "id % 997 as v"
+    )
+    sk = kmv_sketch(df, ["seg"], "v", k=32).localCheckpoint()
+    plan = _plan(kmv_merge_estimate(sk, k=32))
+    assert "FileScan" not in plan and "parquet" not in plan.lower()
