@@ -3251,6 +3251,73 @@ def _wrap(fn: Callable) -> Callable:
 
 
 @q(
+    "dd_editdist_verify",
+    "near-dup PRECISION gate: exact normalized Levenshtein verification "
+    "of candidate pairs (operators/dedup.py verify_pairs_editdist — JVM "
+    "levenshtein in whole-stage codegen, shuffle ∝ pairs + docs, cost "
+    "bounded by the max_chars prefix; candidates come from a banded "
+    "recall pass, never a cross join). Fixture plants true near-dups "
+    "(doc || ' tail x') and cross-pairs of unrelated docs",
+    """WITH d AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 100
+        ),
+        docs2 AS (
+          SELECT doc_id*2 AS id, text FROM d
+          UNION ALL SELECT doc_id*2+1, text || ' tail x' FROM d
+        ),
+        pairs AS (
+          SELECT doc_id*2 AS id_a, doc_id*2+1 AS id_b FROM d
+          UNION ALL
+          SELECT doc_id*2, (doc_id+1)*2+1 FROM d WHERE doc_id < 99
+        ),
+        j AS (
+          SELECT p.id_a, p.id_b,
+                 levenshtein(substring(a.text, 1, 2000),
+                             substring(b.text, 1, 2000)) AS edit_dist,
+                 greatest(greatest(len(substring(a.text, 1, 2000)),
+                                   len(substring(b.text, 1, 2000))), 1)
+                     AS mx
+          FROM pairs p
+          JOIN docs2 a ON a.id = p.id_a JOIN docs2 b ON b.id = p.id_b
+        )
+        SELECT id_a, id_b, CAST(edit_dist AS BIGINT) AS edit_dist,
+               round(edit_dist / mx, 4) + 0.0 AS edit_ratio
+        FROM j WHERE round(edit_dist / mx, 4) <= 0.1
+        ORDER BY id_a, id_b""",
+    note="true pairs pass at ratio 7/(len+7); cross-pairs of distinct "
+    "synthetic docs verify the reject side (and if the corpus happens "
+    "to contain a genuinely near-identical cross pair, both engines "
+    "keep it — the oracle IS the same math). max_chars truncation is "
+    "applied before the distance on both sides",
+)
+def dd_editdist_q(spark, sf):
+    from ..operators.dedup import verify_pairs_editdist
+
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    did = F.col("doc_id")
+    base = d.select((did * 2).alias("id"), "text")
+    mod = d.select(
+        (did * 2 + 1).alias("id"),
+        F.concat(F.col("text"), F.lit(" tail x")).alias("text"),
+    )
+    docs2 = base.unionByName(mod)
+    pairs = d.select(
+        (did * 2).alias("id_a"), (did * 2 + 1).alias("id_b")
+    ).unionByName(
+        d.filter(did < 99).select(
+            (did * 2).alias("id_a"), ((did + 1) * 2 + 1).alias("id_b")
+        )
+    )
+    out = verify_pairs_editdist(pairs, docs2, "text", "id", max_ratio=0.1)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("edit_dist").cast("long").alias("edit_dist"),
+        (F.col("edit_ratio") + F.lit(0.0)).alias("edit_ratio"),
+    ).orderBy("id_a", "id_b")
+
+
+@q(
     "dd_dedup_clusters",
     "near-dup CLUSTERING: transitive closure over minhash candidate pairs "
     "-> one cluster_id + canonical keeper per doc, singletons included "
@@ -4468,12 +4535,12 @@ _DRIVER_PRIORITY = [
     "a5_state_pivot_counts",
     "a6_rollup_counts",
     "a7_array_dedup_union",
-    "o1_topk_recent",
     "agg_kmv_union",
+    "dd_editdist_verify",
     # p4_required_field_filter / f11_json_field_extract rotated out for
     # the two WAV real-decode entries, o2_pagination_offset for
-    # agg_kmv_union (all attested r03; still covered by judge parity +
-    # pytest)
+    # agg_kmv_union, o1_topk_recent for dd_editdist_verify (all attested
+    # r03; still covered by judge parity + pytest)
 ]
 
 
