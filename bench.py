@@ -67,6 +67,11 @@ HEADLINE = [
     "j9_interval_join",
     "agg_kmv_distinct",
     "q3_shipping_priority",
+    # round 5 additions (headline TOTAL grows by their cost — compare
+    # per-query across rounds, not the sum)
+    "mm_decode_ppm_features",
+    "agg_kmv_union",
+    "dd_editdist_verify",
 ]
 
 
