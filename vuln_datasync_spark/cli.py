@@ -753,6 +753,38 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_distinct(args) -> int:
+    """Bounded-state distinct count of a column, optionally per group
+    (operators/sketch.py kmv_distinct — the reference's per-source
+    distinct-vuln dashboards, sql/vulnerabilities.sql:105-126, served
+    without a ∝-distinct-keys shuffle). With --sketch-out, persists the
+    mergeable per-group sketch rows instead, for later
+    kmv_merge_estimate calls over any union of segments."""
+    from .operators.sketch import kmv_distinct, kmv_sketch
+    from .sinks.manifest_table import ManifestTable
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    df = table.read(snapshot_id=args.snapshot)
+    by = args.by.split(",") if args.by else []
+    if args.sketch_out:
+        kmv_sketch(df, by, args.col, k=args.k).write.mode(
+            "overwrite"
+        ).parquet(args.sketch_out)
+        print(json.dumps({"sketch": args.sketch_out, "k": args.k}))
+        return 0
+    if by:
+        rows = kmv_distinct(df, by, args.col, k=args.k).orderBy(*by).collect()
+        print(json.dumps([r.asDict() for r in rows], default=str))
+    else:
+        rows = kmv_distinct(
+            df.selectExpr("1 as _g", f"`{args.col}`"), ["_g"], args.col,
+            k=args.k,
+        ).collect()
+        print(json.dumps({"est_distinct": rows[0]["est_distinct"]}))
+    return 0
+
+
 def cmd_sync_agg(args) -> int:
     """Advance a materialized per-dimension aggregate to the table's
     current snapshot via the preimage change feed (O(delta) per sync)."""
@@ -1210,6 +1242,23 @@ def build_parser() -> argparse.ArgumentParser:
     pf.add_argument("--k", type=int, default=256)
     pf.add_argument("--snapshot", default=None)
     pf.set_defaults(fn=cmd_profile)
+
+    dc = sub.add_parser(
+        "distinct",
+        help="bounded-state distinct count (KMV), optionally per group",
+    )
+    dc.add_argument("--table", required=True)
+    dc.add_argument("--col", required=True)
+    dc.add_argument("--by", default=None, help="comma-separated group cols")
+    dc.add_argument("--k", type=int, default=256)
+    dc.add_argument("--snapshot", default=None)
+    dc.add_argument(
+        "--sketch-out",
+        default=None,
+        help="write mergeable per-group sketch rows here instead of "
+        "estimating (input to later union estimates)",
+    )
+    dc.set_defaults(fn=cmd_distinct)
 
     sa = sub.add_parser(
         "sync-agg", help="advance a materialized aggregate via the feed"
