@@ -116,6 +116,26 @@ def test_kmv_ignores_nulls_and_validates(spark):
         kmv_distinct(df, ["g"], "v", k=1)
 
 
+def test_kmv_global_no_group_cols(spark):
+    """group_cols=[] is the CLI's global-distinct path: one row out, and
+    the global sketch must equal merging per-segment sketches."""
+    from vuln_datasync_spark.operators.sketch import (
+        kmv_merge_estimate,
+        kmv_sketch,
+    )
+
+    df = spark.range(6000).selectExpr(
+        "id % 5 as seg", "id % 997 as v"
+    ).repartition(8)
+    [d] = kmv_distinct(df, [], "v", k=64).collect()
+    [g] = kmv_sketch(df, [], "v", k=64).collect()
+    [m] = kmv_merge_estimate(
+        kmv_sketch(df, ["seg"], "v", k=64), k=64
+    ).collect()
+    assert d.est_distinct == m.est_distinct
+    assert list(g.hashes) == sorted(g.hashes) and len(g.hashes) == 64
+
+
 def test_frequent_items_exact(spark):
     rows = (["hot"] * 50 + ["warm"] * 10 + [f"u{i}" for i in range(400)])
     df = spark.createDataFrame([(k,) for k in rows], "k string")

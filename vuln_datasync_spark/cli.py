@@ -777,11 +777,9 @@ def cmd_distinct(args) -> int:
         rows = kmv_distinct(df, by, args.col, k=args.k).orderBy(*by).collect()
         print(json.dumps([r.asDict() for r in rows], default=str))
     else:
-        rows = kmv_distinct(
-            df.selectExpr("1 as _g", f"`{args.col}`"), ["_g"], args.col,
-            k=args.k,
-        ).collect()
-        print(json.dumps({"est_distinct": rows[0]["est_distinct"]}))
+        rows = kmv_distinct(df, [], args.col, k=args.k).collect()
+        est = rows[0]["est_distinct"] if rows else 0
+        print(json.dumps({"est_distinct": est}))
     return 0
 
 

@@ -134,7 +134,11 @@ def kmv_sketch(
     hash among the k smallest of a union is necessarily among the k
     smallest of its own segment, so re-ranking the unioned sketch arrays
     reproduces the sketch of the unioned DATA bit-for-bit.
+
+    ``group_cols=[]`` produces a single global sketch row.
     """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
     gc = list(group_cols)
     ranked = _kmv_ranked(
         kmv_candidates(df, gc, value_col, k), gc
@@ -170,7 +174,13 @@ def kmv_candidates(
         for pdf in batches:
             if pdf.empty:
                 continue
-            for key, g in pdf.groupby(gc, dropna=False, sort=False):
+            # global sketch (no group cols): the whole batch is one group
+            groups = (
+                pdf.groupby(gc, dropna=False, sort=False)
+                if gc
+                else [((), pdf)]
+            )
+            for key, g in groups:
                 key = key if isinstance(key, tuple) else (key,)
                 hs = g["_h"].to_numpy(dtype="int64")
                 cur = state.get(key)
