@@ -311,7 +311,23 @@ def verify_pairs_editdist(
     a = docs.select(F.col(id_col).alias("id_a"), t.alias("_ta"))
     b = docs.select(F.col(id_col).alias("id_b"), t.alias("_tb"))
     j = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
-    dist = F.levenshtein("_ta", "_tb")
+    if max_chars is not None:
+        # banded DP early-exit: any pair that can pass the ratio filter
+        # has dist <= max_ratio * max(len) <= max_ratio * max_chars, so
+        # a threshold at that bound (+ rounding slack: the filter is on
+        # round(ratio, 4), which admits dist/mx up to max_ratio + 5e-5)
+        # changes NO retained row while cutting the per-pair cost from
+        # O(len^2) to O(threshold * len). levenshtein returns -1 past
+        # the threshold — those pairs must be dropped explicitly, else
+        # -1 <= max_ratio would wrongly admit them.
+        import math
+
+        thresh = int(math.ceil((max_ratio + 1e-4) * max_chars))
+        dist = F.levenshtein("_ta", "_tb", max(thresh, 1))
+        keep = F.col("edit_dist") >= 0
+    else:
+        dist = F.levenshtein("_ta", "_tb")
+        keep = F.lit(True)
     ratio = dist / F.greatest(
         F.greatest(F.length("_ta"), F.length("_tb")), F.lit(1)
     )
@@ -322,7 +338,7 @@ def verify_pairs_editdist(
             dist.alias("edit_dist"),
             F.round(ratio, 4).alias("edit_ratio"),
         )
-        .filter(F.col("edit_ratio") <= max_ratio)
+        .filter(keep & (F.col("edit_ratio") <= max_ratio))
     )
 
 
