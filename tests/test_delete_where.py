@@ -58,9 +58,16 @@ def test_delete_where_basic_and_payload_nulled(spark, tmp_path):
         assert r["op"] == "delete"
         assert r["commit_seq"] == int(r["path"][1:-3]) + 1
 
-    # exactly-once: same epoch replays to None, state unchanged
-    assert table.delete_where("repo = 'keep'") is None
+    # exactly-once: the SAME operation replays to None, state unchanged
+    assert table.delete_where("repo = 'gone'") is None
     assert table.read().count() == 10
+
+    # ...but a DIFFERENT predicate with default flags gets its own
+    # derived epoch and actually applies (regression: a shared constant
+    # default epoch used to swallow it silently)
+    rec2 = table.delete_where("path = 'f1.py'")
+    assert rec2["rows_applied"] == 1
+    assert table.read().count() == 9
 
 
 def test_delete_where_feeds_change_feed_and_resurrects(spark, tmp_path):
@@ -219,9 +226,14 @@ def test_update_where_sets_columns_and_recomputes_sha(spark, tmp_path):
     feed = table.read_changes(snaps[0]["snapshot_id"])
     assert {r["_change_type"] for r in feed.collect()} == {"update"}
 
-    # exactly-once: replaying the same epoch is a no-op
+    # exactly-once: replaying the SAME operation (same derived epoch)
+    # is a no-op; a different assignment would get its own epoch
     assert (
-        table.update_where("repo = 'fix'", {"lang": F.lit("x")}) is None
+        table.update_where(
+            "repo = 'fix'",
+            {"lang": F.lit("python3"), "content": "upper(content)"},
+        )
+        is None
     )
 
     # a later genuine event still outranks the synthesized update

@@ -1545,10 +1545,27 @@ class ManifestTable:
             w = w.option("maxRecordsPerFile", int(target_rows))
         w.parquet(snap_dir)
 
+    @staticmethod
+    def _derived_epoch(prefix: str, *parts) -> str:
+        """Default exactly-once epoch key for predicate DML: a hash of
+        the operation's own arguments. Distinct operations run with
+        default flags must occupy distinct epochs — a shared constant
+        would silently swallow the second operation as an epoch replay.
+        Re-running the SAME predicate on purpose (to catch rows that
+        started matching later) still needs an explicit checkpoint_id or
+        batch_id."""
+        import hashlib
+
+        return (
+            prefix
+            + "-"
+            + hashlib.sha256(repr(parts).encode()).hexdigest()[:12]
+        )
+
     def delete_where(
         self,
         condition,
-        checkpoint_id: str = "delete-where",
+        checkpoint_id: str | None = None,
         batch_id: int = 0,
         range_filters: dict | None = None,
     ) -> dict | None:
@@ -1574,8 +1591,17 @@ class ManifestTable:
         A later genuine event with a higher commit_seq still wins: keys
         deleted here resurrect correctly if the source re-adds them.
 
+        ``checkpoint_id=None`` (default) derives the exactly-once epoch
+        from the operation's arguments, so distinct deletes never collide
+        while a byte-identical replay is still a no-op; pass an explicit
+        checkpoint_id/batch_id to deliberately re-run the same predicate.
+
         Returns the merge lineage record (rows_applied = rows deleted),
         or None if this epoch already committed."""
+        if checkpoint_id is None:
+            checkpoint_id = self._derived_epoch(
+                "delete-where", str(condition), repr(range_filters)
+            )
         m = self.manifest()
         if m is None:
             return None
@@ -1605,7 +1631,7 @@ class ManifestTable:
         self,
         condition,
         assignments: dict,
-        checkpoint_id: str = "update-where",
+        checkpoint_id: str | None = None,
         batch_id: int = 0,
         range_filters: dict | None = None,
     ) -> dict | None:
@@ -1625,8 +1651,20 @@ class ManifestTable:
         the scan with zone-map file skipping, so a time- or id-ranged
         backfill-fix reads only the overlapping files. A later genuine
         event with a higher commit_seq still wins over the synthesized
-        update. Returns the merge lineage (rows_applied = rows updated),
-        or None if this epoch already committed."""
+        update. ``checkpoint_id=None`` (default) derives the exactly-once
+        epoch from the operation's arguments (condition + assignments),
+        so distinct updates never collide while a byte-identical replay
+        is still a no-op; pass an explicit checkpoint_id/batch_id to
+        deliberately re-run the same operation. Returns the merge
+        lineage (rows_applied = rows updated), or None if this epoch
+        already committed."""
+        if checkpoint_id is None:
+            checkpoint_id = self._derived_epoch(
+                "update-where",
+                str(condition),
+                repr({c: str(e) for c, e in assignments.items()}),
+                repr(range_filters),
+            )
         m = self.manifest()
         if m is None:
             return None
