@@ -87,3 +87,39 @@ def test_wav_resample_floor_grid_and_closure(n, src, dst, seed):
     # closure under re-encode at the new rate
     dec, r = decode_wav(encode_wav(out, dst))
     assert r == dst and (dec == out).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(0, 6),
+    w=st.integers(1, 16),
+    h=st.integers(1, 16),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_y4m_roundtrip_any_shape(n, w, h, seed):
+    from vuln_datasync_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    clip = np.random.default_rng(seed).integers(
+        0, 256, size=(n, h, w, 3), dtype=np.uint8
+    )
+    out, fn, fd = decode_y4m(encode_y4m(clip))
+    assert out.shape == clip.shape and (out == clip).all()
+    assert (fn, fd) == (25, 1)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 12),
+    k=st.integers(1, 12),
+)
+def test_y4m_frame_pick_grid_is_uniform_floor(n, k):
+    # the temporal grid matches the spatial one: src = i*n//n_out,
+    # strictly nondecreasing, first frame always 0, never out of range
+    n_out = min(k, n)
+    picks = [i * n // n_out for i in range(n_out)]
+    assert picks[0] == 0 and picks == sorted(picks)
+    assert all(0 <= p < n for p in picks)
+    assert len(set(picks)) == n_out  # distinct: no frame sampled twice

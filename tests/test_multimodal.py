@@ -243,3 +243,93 @@ def test_real_wav_decode_resample_end_to_end(spark):
     # non-WAV bytes fail loudly on the real resample path
     with pytest.raises(PythonException, match="WAV"):
         resample_media(_media(spark, 3), 6000).collect()
+
+
+def test_y4m_codec_roundtrip_and_c420_upsample():
+    import numpy as np
+
+    from vuln_datasync_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    rng = np.random.default_rng(11)
+    clip = rng.integers(0, 256, size=(4, 5, 7, 3), dtype=np.uint8)
+    out, fn, fd = decode_y4m(encode_y4m(clip, fps=(30, 1)))
+    assert (out == clip).all() and (fn, fd) == (30, 1)
+
+    # C420 stream (ffmpeg's default): chroma at half res, nearest-doubled
+    w, h = 6, 4
+    y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    u = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+    v = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+    raw = (
+        f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420jpeg\n".encode()
+        + b"FRAME\n" + y.tobytes() + u.tobytes() + v.tobytes()
+    )
+    f420, _, _ = decode_y4m(raw)
+    assert (f420[0, ..., 0] == y).all()
+    assert (f420[0, ..., 1] == u.repeat(2, 0).repeat(2, 1)).all()
+    assert (f420[0, ..., 2] == v.repeat(2, 0).repeat(2, 1)).all()
+
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"\x00\x00\x00\x18ftypmp42")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C444\nFRAME\n\x00\x01")
+    with pytest.raises(ValueError, match="colorspace"):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 Cmono\n")
+    # header-only stream = zero frames, not an error
+    empty, _, _ = decode_y4m(b"YUV4MPEG2 W4 H3 F25:1 Ip A1:1 C444\n")
+    assert empty.shape == (0, 3, 4, 3)
+
+
+def test_real_y4m_decode_and_frame_sampling_end_to_end(spark):
+    import numpy as np
+
+    from vuln_datasync_spark.operators.multimodal import (
+        decode_y4m,
+        extract_features,
+        planted_y4m_table,
+        sample_frames_y4m,
+    )
+
+    d = spark.createDataFrame([(i,) for i in range(13)], "doc_id long")
+    m = planted_y4m_table(d, "doc_id")
+    for r in m.collect():
+        mid = r["media_id"]
+        w, h, n = mid % 4 + 2, mid % 3 + 2, mid % 6 + 2
+        frames, fn, fd = decode_y4m(bytes(r["content"]))
+        assert frames.shape == (n, h, w, 3) and (fn, fd) == (25, 1)
+        f = np.arange(n)[:, None, None, None]
+        yy = np.arange(h)[None, :, None, None]
+        x = np.arange(w)[None, None, :, None]
+        p = np.arange(3)[None, None, None, :]
+        want = ((f * 41 + yy * 13 + x * 7 + mid * 3 + p * 29) % 256)
+        assert (frames == want).all()
+
+    # real features route by magic bytes (YUV4MPEG2 -> video stats)
+    feats = {r["media_id"]: r for r in
+             extract_features(m, decode_stub=False).collect()}
+    for mid, r in feats.items():
+        w, h, n = mid % 4 + 2, mid % 3 + 2, mid % 6 + 2
+        assert int(r["feat"][5]) == n
+        assert int(r["feat"][6]) == w and int(r["feat"][7]) == h
+        assert r["byte_len"] == 35 + n * (6 + 3 * w * h)
+
+    # frame sampling: uniform floor grid, exact per-frame sums
+    rows = sample_frames_y4m(m, max_frames=3).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for mid, rs in by_id.items():
+        n = mid % 6 + 2
+        n_out = min(3, n)
+        assert [r["frame_idx"] for r in sorted(rs, key=lambda r: r["frame_idx"])] == list(range(n_out))
+        for r in rs:
+            src = r["frame_idx"] * n // n_out
+            assert r["src_frame"] == src
+            w, h = mid % 4 + 2, mid % 3 + 2
+            yy = np.arange(h)[:, None]
+            x = np.arange(w)[None, :]
+            ysum = int(((src * 41 + yy * 13 + x * 7 + mid * 3) % 256).sum())
+            assert r["y_sum"] == ysum

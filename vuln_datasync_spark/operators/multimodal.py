@@ -3,11 +3,14 @@ with typed metadata, processed by Arrow-batched ``mapInPandas`` operators.
 
 Decode support is two-tier:
 
-* **Real decode for uncompressed PPM (P6) images** — a pure-numpy codec
-  (``decode_ppm`` / ``encode_ppm``), honest nearest-neighbor resize, and
-  real pixel-statistic features. No external library needed: P6 is a
-  text header + raw RGB bytes, so ``np.frombuffer`` IS the decoder.
-* **Deterministic stub for every other codec** (JPEG/PNG/audio/video
+* **Real decode for every uncompressed raster format** — pure-numpy
+  codecs for PPM (P6) images (``decode_ppm``/``encode_ppm``), PCM WAV
+  audio (``decode_wav``/``encode_wav``), and YUV4MPEG2 video
+  (``decode_y4m``/``encode_y4m``), with honest nearest-neighbor resize
+  / sample-pick resample / uniform frame sampling and real statistic
+  features. No external library needed: an uncompressed raster is a
+  header + raw bytes, so ``np.frombuffer`` IS the decoder.
+* **Deterministic stub for compressed codecs** (JPEG/PNG/MP3/H.264
   would need PIL/ffmpeg, absent in this container): ``decode_stub=True``
   (default) produces fake features from the bytes; ``decode_stub=False``
   decodes PPM payloads for real and raises ValueError on bytes it cannot
@@ -314,6 +317,208 @@ def planted_wav_table(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- Y4M (YUV4MPEG2) codec
+#
+# YUV4MPEG2 is ffmpeg's uncompressed video interchange format: one ASCII
+# header line ("YUV4MPEG2 W.. H.. F<num>:<den> Ip A1:1 C444\n"), then per
+# frame a "FRAME\n" marker followed by raw Y, U, V planes. Like PPM and
+# WAV, np.frombuffer IS the decoder — no ffmpeg needed for the raw form.
+# We encode C444 (full-res chroma); the decoder also accepts C420*
+# (chroma at half resolution, nearest-upsampled to full res on read, the
+# same thing a display path does).
+
+
+def encode_y4m(
+    frames: np.ndarray, fps: tuple[int, int] = (25, 1)
+) -> bytes:
+    """Serialize an (n_frames, H, W, 3) uint8 YUV array as YUV4MPEG2
+    (C444: three full-resolution planes per frame)."""
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError(f"expected (n, H, W, 3) array, got {frames.shape}")
+    n, h, w = frames.shape[:3]
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C444\n".encode()]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        # plane-major: all Y, then all U, then all V
+        out.append(np.ascontiguousarray(f[i].transpose(2, 0, 1)).tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(raw: bytes) -> tuple[np.ndarray, int, int]:
+    """Parse YUV4MPEG2 into ((n_frames, H, W, 3) uint8 YUV, fps_num,
+    fps_den). C444 reads exactly; C420* chroma planes are nearest-
+    upsampled (pixel-doubled) to full resolution."""
+    if not raw.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = raw.index(0x0A)
+    w = h = None
+    fps_num, fps_den, c444 = 25, 1, True
+    for tok in raw[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            fps_num, fps_den = (int(x) for x in t[1:].split(":"))
+        elif t[0] == "C":
+            if t[1:].startswith("444"):
+                c444 = True
+            elif t[1:].startswith("420"):
+                c444 = False
+            else:
+                raise ValueError(f"unsupported colorspace {t}")
+    if w is None or h is None:
+        raise ValueError("missing W/H in stream header")
+    cw, ch_ = (w, h) if c444 else (w // 2, h // 2)
+    fsize = w * h + 2 * cw * ch_
+    frames = []
+    pos = nl + 1
+    while pos < len(raw):
+        fnl = raw.index(0x0A, pos)
+        if raw[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        pos = fnl + 1
+        if len(raw) - pos < fsize:
+            raise ValueError(f"truncated frame: need {fsize} bytes")
+        y = np.frombuffer(raw, np.uint8, w * h, pos).reshape(h, w)
+        u = np.frombuffer(
+            raw, np.uint8, cw * ch_, pos + w * h
+        ).reshape(ch_, cw)
+        v = np.frombuffer(
+            raw, np.uint8, cw * ch_, pos + w * h + cw * ch_
+        ).reshape(ch_, cw)
+        if not c444:  # nearest (pixel-double) chroma upsample
+            u = u.repeat(2, 0)[:h].repeat(2, 1)[:, :w]
+            v = v.repeat(2, 0)[:h].repeat(2, 1)[:, :w]
+        frames.append(np.stack([y, u, v], axis=-1))
+        pos += fsize
+    return (
+        np.stack(frames) if frames else np.empty((0, h, w, 3), np.uint8),
+        fps_num,
+        fps_den,
+    )
+
+
+def _y4m_pixel_features(frames: np.ndarray) -> np.ndarray:
+    """Real decoded-video features as exactly-float32-representable small
+    integers: per-plane sums, global min/max, frame count, dimensions."""
+    n, h, w = frames.shape[:3]
+    px = frames.astype(np.int64)
+    return np.array(
+        [
+            px[..., 0].sum(),
+            px[..., 1].sum(),
+            px[..., 2].sum(),
+            px.min(),
+            px.max(),
+            n,
+            w,
+            h,
+        ],
+        dtype=np.float32,
+    )
+
+
+def planted_y4m_table(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic real-Y4M fixture: tiny C444 clips with
+    ``pixel(f, y, x, plane) = (f*41 + y*13 + x*7 + id*3 + plane*29) % 256``
+    and ``w = id%4 + 2``, ``h = id%3 + 2``, ``n_frames = id%6 + 2`` —
+    analytic in the id, so SQL oracles recompute any frame statistic.
+    Payloads are REAL YUV4MPEG2 streams (pipeable into ffmpeg)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, contents, metas = [], [], []
+            for mid in pdf["_id"]:
+                mid = int(mid)
+                w, h, n = mid % 4 + 2, mid % 3 + 2, mid % 6 + 2
+                f = np.arange(n)[:, None, None, None]
+                y = np.arange(h)[None, :, None, None]
+                x = np.arange(w)[None, None, :, None]
+                p = np.arange(3)[None, None, None, :]
+                clip = (
+                    (f * 41 + y * 13 + x * 7 + mid * 3 + p * 29) % 256
+                ).astype(np.uint8)
+                ids.append(mid)
+                contents.append(encode_y4m(clip))
+                metas.append(
+                    {
+                        "width": w,
+                        "height": h,
+                        "sample_rate": 25,  # fps for video payloads
+                        "duration_ms": n * 1000 // 25,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "video/y4m",
+                    "content": contents,
+                    "meta": metas,
+                }
+            )
+
+    return df.select(F.col(id_col).alias("_id")).mapInPandas(
+        op, schema=MEDIA_SCHEMA
+    )
+
+
+FRAME_STATS_SCHEMA = (
+    "media_id long, frame_idx int, src_frame int, "
+    "y_sum long, u_sum long, v_sum long, px_min int, px_max int"
+)
+
+
+def sample_frames_y4m(media: DataFrame, max_frames: int = 3) -> DataFrame:
+    """REAL video frame sampling over Arrow batches: decode YUV4MPEG2,
+    pick ``n_out = min(max_frames, n_src)`` frames on the uniform floor
+    grid ``src = i * n_src // n_out`` (the temporal analog of
+    ``resize_nearest``'s spatial grid), and emit exact per-frame plane
+    statistics — one output row per sampled frame (1:N mapInPandas).
+    Map-only: decode + reduce happen inside the scan partition; only the
+    tiny stat rows ever shuffle — at 100 TB the video bytes never move.
+    Non-Y4M payloads raise ValueError (compressed codecs need ffmpeg)."""
+    if max_frames <= 0:
+        raise ValueError(f"max_frames must be positive: {max_frames}")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "frame_idx", "src_frame",
+                    "y_sum", "u_sum", "v_sum", "px_min", "px_max",
+                )
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)
+                if not raw.startswith(b"YUV4MPEG2"):
+                    raise ValueError(
+                        "sample_frames_y4m supports YUV4MPEG2 only; "
+                        "compressed video needs ffmpeg — use "
+                        "sample_frames for opaque bytes"
+                    )
+                frames, _fn, _fd = decode_y4m(raw)
+                n_src = frames.shape[0]
+                n_out = min(max_frames, n_src)
+                for i in range(n_out):
+                    src = i * n_src // n_out
+                    px = frames[src].astype(np.int64)
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["src_frame"].append(src)
+                    rows["y_sum"].append(int(px[..., 0].sum()))
+                    rows["u_sum"].append(int(px[..., 1].sum()))
+                    rows["v_sum"].append(int(px[..., 2].sum()))
+                    rows["px_min"].append(int(px.min()))
+                    rows["px_max"].append(int(px.max()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(op, schema=FRAME_STATS_SCHEMA)
+
+
 def resample_media(media: DataFrame, target_rate: int) -> DataFrame:
     """REAL audio resample over Arrow batches: decode PCM WAV, pick
     samples on the nearest-neighbor grid, re-encode at ``target_rate``,
@@ -393,12 +598,14 @@ def extract_features(
                         feats.append(_ppm_pixel_features(decode_ppm(raw)))
                     elif raw[:4] == b"RIFF":
                         feats.append(_wav_pixel_features(*decode_wav(raw)))
+                    elif raw[:9] == b"YUV4MPEG2":
+                        feats.append(_y4m_pixel_features(decode_y4m(raw)[0]))
                     else:
                         raise ValueError(
-                            "real decode supports PPM (P6) images and PCM "
-                            "WAV audio in this container; other codecs "
-                            "need PIL/ffmpeg — pass decode_stub=True for "
-                            "opaque bytes"
+                            "real decode supports PPM (P6) images, PCM "
+                            "WAV audio, and YUV4MPEG2 video in this "
+                            "container; other codecs need PIL/ffmpeg — "
+                            "pass decode_stub=True for opaque bytes"
                         )
             yield pd.DataFrame(
                 {

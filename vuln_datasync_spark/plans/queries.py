@@ -2018,6 +2018,113 @@ def mm_wav_resample(spark, sf):
 
 
 @q(
+    "mm_decode_y4m_features",
+    "multimodal: REAL video decode — planted YUV4MPEG2 payloads parsed "
+    "by the pure-numpy codec (operators/multimodal.py decode_y4m, "
+    "decode_stub=False) and reduced to exact per-plane statistics; the "
+    "oracle recomputes every pixel analytically from the plant rule "
+    "pixel(f,y,x,p) = (f*41 + y*13 + x*7 + id*3 + p*29) % 256",
+    """WITH d AS (
+          SELECT doc_id, doc_id % 4 + 2 AS w, doc_id % 3 + 2 AS h,
+                 doc_id % 6 + 2 AS n
+          FROM documents
+        ),
+        px AS (
+          SELECT d.doc_id, d.w, d.h, d.n,
+                 (f.f*41 + y.y*13 + x.x*7 + d.doc_id*3) % 256 AS py,
+                 (f.f*41 + y.y*13 + x.x*7 + d.doc_id*3 + 29) % 256 AS pu,
+                 (f.f*41 + y.y*13 + x.x*7 + d.doc_id*3 + 58) % 256 AS pv
+          FROM d, generate_series(0, 6) f(f), generate_series(0, 3) y(y),
+               generate_series(0, 4) x(x)
+          WHERE f.f < d.n AND y.y < d.h AND x.x < d.w
+        )
+        SELECT doc_id AS media_id,
+               CAST(35 + n*(6 + 3*w*h) AS BIGINT) AS byte_len,
+               CAST(sum(py) AS BIGINT) AS sum_y,
+               CAST(sum(pu) AS BIGINT) AS sum_u,
+               CAST(sum(pv) AS BIGINT) AS sum_v,
+               CAST(min(least(py, pu, pv)) AS BIGINT) AS px_min,
+               CAST(max(greatest(py, pu, pv)) AS BIGINT) AS px_max,
+               CAST(n AS BIGINT) AS n_frames,
+               CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
+        FROM px GROUP BY doc_id, w, h, n ORDER BY media_id""",
+    note="byte_len = 35-byte stream header (single-digit dims) + per "
+    "frame a 6-byte FRAME marker + 3*w*h C444 raster — a wrong encoder "
+    "shifts it; plane sums are small integers so the float32 feat array "
+    "is bit-exact. Third REAL modality next to PPM images and PCM WAV "
+    "audio; compressed video keeps the documented stub",
+)
+def mm_y4m_features(spark, sf):
+    from ..operators.multimodal import extract_features, planted_y4m_table
+
+    m = planted_y4m_table(_t(spark, sf, "documents"), "doc_id")
+    f = extract_features(m, decode_stub=False)
+    return f.select(
+        "media_id",
+        "byte_len",
+        F.col("feat")[0].cast("long").alias("sum_y"),
+        F.col("feat")[1].cast("long").alias("sum_u"),
+        F.col("feat")[2].cast("long").alias("sum_v"),
+        F.col("feat")[3].cast("long").alias("px_min"),
+        F.col("feat")[4].cast("long").alias("px_max"),
+        F.col("feat")[5].cast("long").alias("n_frames"),
+        F.col("feat")[6].cast("long").alias("width"),
+        F.col("feat")[7].cast("long").alias("height"),
+    ).orderBy("media_id")
+
+
+@q(
+    "mm_sample_y4m_frames",
+    "multimodal: REAL video frame sampling — Y4M decoded, frames picked "
+    "on the uniform floor grid src = i*n//n_out (1:N mapInPandas, "
+    "operators/multimodal.py sample_frames_y4m), exact per-frame plane "
+    "stats; the oracle recomputes the sampled frames analytically",
+    """WITH d AS (
+          SELECT doc_id, doc_id % 4 + 2 AS w, doc_id % 3 + 2 AS h,
+                 doc_id % 6 + 2 AS n
+          FROM documents
+        ),
+        fr AS (
+          SELECT d.*, i.i AS frame_idx,
+                 (i.i * d.n) // least(3, d.n) AS src_frame
+          FROM d, generate_series(0, 2) i(i)
+          WHERE i.i < least(3, d.n)
+        ),
+        px AS (
+          SELECT fr.doc_id, fr.frame_idx, fr.src_frame,
+                 (fr.src_frame*41 + y.y*13 + x.x*7 + fr.doc_id*3) % 256
+                     AS py,
+                 (fr.src_frame*41 + y.y*13 + x.x*7 + fr.doc_id*3 + 29)
+                     % 256 AS pu,
+                 (fr.src_frame*41 + y.y*13 + x.x*7 + fr.doc_id*3 + 58)
+                     % 256 AS pv
+          FROM fr, generate_series(0, 3) y(y), generate_series(0, 4) x(x)
+          WHERE y.y < fr.h AND x.x < fr.w
+        )
+        SELECT doc_id AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+               CAST(src_frame AS INTEGER) AS src_frame,
+               CAST(sum(py) AS BIGINT) AS y_sum,
+               CAST(sum(pu) AS BIGINT) AS u_sum,
+               CAST(sum(pv) AS BIGINT) AS v_sum,
+               CAST(min(least(py, pu, pv)) AS INTEGER) AS px_min,
+               CAST(max(greatest(py, pu, pv)) AS INTEGER) AS px_max
+        FROM px GROUP BY doc_id, frame_idx, src_frame
+        ORDER BY media_id, frame_idx""",
+    note="the per-frame sums verify the temporal pick indices — a "
+    "round-half or ceil sampler picks different source frames and "
+    "mismatches; n_out = min(3, n_frames) covers both the subsample "
+    "(n>3) and take-all (n<=3) branches",
+)
+def mm_y4m_frames(spark, sf):
+    from ..operators.multimodal import planted_y4m_table, sample_frames_y4m
+
+    m = planted_y4m_table(_t(spark, sf, "documents"), "doc_id")
+    return sample_frames_y4m(m, max_frames=3).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+@q(
     "mm_sample_frames",
     "multimodal: frame sampling (1:N mapInPandas)",
     """WITH m AS (SELECT doc_id, text, strlen(text) AS n_bytes
@@ -4510,8 +4617,10 @@ _DRIVER_PRIORITY = [
     "mm_resize_ppm",
     "mm_decode_wav_features",
     "mm_resample_wav",
-    "mm_sample_frames",
-    "mm_binary_metadata",
+    # real Y4M video entries supersede the stub-plumbing pair
+    # (mm_sample_frames / mm_binary_metadata keep their r03/r04 rows)
+    "mm_decode_y4m_features",
+    "mm_sample_y4m_frames",
     "sim_cosine_topk",
     "sim_ann_lsh_topk",
     "sim_embedding_neardup",
