@@ -1,0 +1,151 @@
+"""Debezium/Maxwell envelope ingress: op routing, before/after image
+selection, seq/ts contracts, malformed-row accounting, DLQ split, and the
+end-to-end hop into the exactly-once MERGE sink."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from vuln_datasync_spark.sources.debezium import (
+    envelope_to_changelog,
+    parse_debezium,
+    parse_maxwell,
+)
+
+
+def _dbz(op, seq, repo="r1", path="a.py", content="x", ts_ms=1_700_000_000_123):
+    img = {
+        "repo": repo, "path": path, "commit": f"c{seq}",
+        "lang": "py", "content": content, "size_bytes": len(content),
+    }
+    return json.dumps(
+        {
+            "payload": {
+                "before": img if op == "d" else None,
+                "after": None if op == "d" else img,
+                "source": {
+                    "ts_ms": ts_ms, "lsn": seq, "pos": None,
+                    "db": "app", "table": "files",
+                },
+                "op": op,
+                "ts_ms": ts_ms + 5,
+            }
+        }
+    )
+
+
+def test_debezium_op_routing_and_images(spark):
+    vals = [
+        (_dbz("c", 1),), (_dbz("r", 2),), (_dbz("u", 3),), (_dbz("d", 4),),
+        ('{"not": "an envelope"}',), ("xx{ not json",),
+        (_dbz("x", 7),),  # unknown op
+        # op u with NO after image -> missing row image
+        (json.dumps({"payload": {"op": "u", "source": {"ts_ms": 1}}}),),
+    ]
+    df = spark.createDataFrame(vals, "value string")
+    out = parse_debezium(df).collect()
+    by_seq = {r["commit_seq"]: r for r in out if r["_parse_error"] is None}
+    assert sorted(by_seq) == [1, 2, 3, 4]
+    assert by_seq[1]["op"] == "insert" and by_seq[2]["op"] == "insert"
+    assert by_seq[3]["op"] == "update" and by_seq[4]["op"] == "delete"
+    # the delete row came from the BEFORE image
+    assert by_seq[4]["commit"] == "c4" and by_seq[4]["content"] == "x"
+    # ts = source.ts_ms (commit time), not payload.ts_ms (connector time)
+    assert by_seq[1]["ts"].microsecond == 123000
+    errs = sorted(
+        r["_parse_error"] for r in out if r["_parse_error"] is not None
+    )
+    assert errs == [
+        "malformed envelope", "malformed envelope",
+        "missing row image", "unknown op: x",
+    ]
+
+
+def test_debezium_seq_fallback_lsn_pos_tsms(spark):
+    def env(lsn, pos, ts_ms):
+        return json.dumps(
+            {
+                "payload": {
+                    "after": {"repo": "r", "path": "p", "commit": "c",
+                              "lang": "py", "content": "x", "size_bytes": 1},
+                    "source": {"ts_ms": 1, "lsn": lsn, "pos": pos,
+                               "db": "d", "table": "t"},
+                    "op": "c", "ts_ms": ts_ms,
+                }
+            }
+        )
+
+    df = spark.createDataFrame(
+        [(env(10, 20, 30),), (env(None, 20, 30),), (env(None, None, 30),)],
+        "value string",
+    )
+    assert [r["commit_seq"] for r in
+            parse_debezium(df).orderBy("commit_seq").collect()] == [10, 20, 30]
+
+
+def test_maxwell_parse_and_second_precision(spark):
+    def env(mtype, xid, ts=1_700_000_000):
+        return json.dumps(
+            {
+                "database": "app", "table": "files", "type": mtype,
+                "ts": ts, "xid": xid, "position": None,
+                "data": {"repo": "r1", "path": "b.py", "commit": f"c{xid}",
+                         "lang": "py", "content": "yy", "size_bytes": 2},
+                "old": None,
+            }
+        )
+
+    vals = [
+        (env("insert", 1),), (env("bootstrap-insert", 2),),
+        (env("update", 3),), (env("delete", 4),),
+        (env("table-create", 5),), ("garbage",),
+    ]
+    out = parse_maxwell(
+        spark.createDataFrame(vals, "value string")
+    ).collect()
+    good = {r["commit_seq"]: r for r in out if r["_parse_error"] is None}
+    assert sorted(good) == [1, 2, 3, 4]
+    assert good[1]["op"] == "insert" == good[2]["op"]
+    assert good[3]["op"] == "update" and good[4]["op"] == "delete"
+    # maxwell deletes carry the row in data — image present
+    assert good[4]["content"] == "yy"
+    assert str(good[1]["ts"]).endswith(":20")  # seconds, no millis
+    errs = sorted(r["_parse_error"] for r in out if r["_parse_error"])
+    assert errs == ["malformed envelope", "unknown op: table-create"]
+
+
+def test_envelope_to_changelog_dlq_split(spark, tmp_path):
+    dlq = str(tmp_path / "dlq")
+    vals = [(_dbz("c", 1),), ("broken",), (_dbz("d", 2),)]
+    good = envelope_to_changelog(
+        spark.createDataFrame(vals, "value string"), dlq_path=dlq
+    )
+    assert good.count() == 2
+    assert "_parse_error" not in good.columns and "_raw" not in good.columns
+    bad = spark.read.parquet(dlq).collect()
+    assert len(bad) == 1 and bad[0]["value"] == "broken"
+    assert bad[0]["_parse_error"] == "malformed envelope"
+
+
+def test_envelope_feeds_merge_sink_end_to_end(spark, tmp_path):
+    """Debezium tail -> canonical changelog -> exactly-once MERGE: the
+    full WAL-to-lake hop. A later update and a delete must land; the
+    final state matches the op sequence."""
+    from vuln_datasync_spark.sinks import ManifestTable
+    from vuln_datasync_spark.streaming import apply_batch
+
+    vals = [
+        (_dbz("c", 1, path="a.py", content="v1"),),
+        (_dbz("u", 2, path="a.py", content="v2"),),
+        (_dbz("c", 3, path="b.py", content="w1"),),
+        (_dbz("d", 4, path="b.py", content="w1"),),
+        ("junk not json",),
+    ]
+    ch = envelope_to_changelog(
+        spark.createDataFrame(vals, "value string")
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    table = ManifestTable.create(spark, str(tmp_path / "tbl"), n_buckets=4)
+    apply_batch(ch, table, "dbz", 0)
+    rows = {(r["repo"], r["path"]): r["content"]
+            for r in table.read().collect()}
+    assert rows == {("r1", "a.py"): "v2"}

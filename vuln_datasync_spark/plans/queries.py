@@ -2661,6 +2661,180 @@ def src_cve(spark, sf):
 
 
 @q(
+    "src_debezium_parse",
+    "WAL/binlog ingress: Debezium envelope -> canonical changelog "
+    "(sources/debezium.py parse_debezium; pure from_json, no UDF). The "
+    "entry builds REAL Debezium JSON envelopes from events (op c/u/d "
+    "routing, deletes carry before-image only, ts_ms millis, lsn as "
+    "commit_seq), plants two malformed classes (non-envelope JSON, "
+    "unparseable text), parses them back, and keeps good rows; the "
+    "oracle recomputes the canonical result analytically",
+    """SELECT event_id * 10 AS commit_seq,
+              CASE WHEN event_type = 'signup' THEN 'insert'
+                   WHEN event_type IN ('click', 'view') THEN 'update'
+                   ELSE 'delete' END AS op,
+              'r' || CAST(user_id % 50 AS VARCHAR) AS repo,
+              'f' || CAST(event_id % 97 AS VARCHAR) || '.py' AS path,
+              'c' || CAST(event_id AS VARCHAR) AS "commit",
+              'py' AS lang,
+              props AS content,
+              strftime(date_trunc('millisecond', ts),
+                       '%Y-%m-%d %H:%M:%S.%g') AS ts,
+              CAST(strlen(props) AS BIGINT) AS size_bytes
+       FROM events
+       WHERE event_type <> 'error' AND event_id % 13 <> 0
+       ORDER BY commit_seq""",
+    note="'error' events become valid-JSON non-envelopes (malformed "
+    "envelope), every 13th event becomes unparseable text (null "
+    "from_json) — both must land in _parse_error, not the output; "
+    "content = props exercises JSON-in-JSON escaping through the "
+    "to_json/from_json round trip",
+)
+def src_debezium(spark, sf):
+    from ..sources.debezium import parse_debezium
+
+    ev = _t(spark, sf, "events")
+    img = F.struct(
+        F.concat(F.lit("r"), (F.col("user_id") % 50).cast("string")).alias(
+            "repo"
+        ),
+        F.concat(
+            F.lit("f"), (F.col("event_id") % 97).cast("string"), F.lit(".py")
+        ).alias("path"),
+        F.concat(F.lit("c"), F.col("event_id").cast("string")).alias(
+            "commit"
+        ),
+        F.lit("py").alias("lang"),
+        F.col("props").alias("content"),
+        F.length("props").cast("long").alias("size_bytes"),
+    )
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type").isin("click", "view"), F.lit("u"))
+        .otherwise(F.lit("d"))
+    )
+    payload = F.struct(
+        F.when(op == "d", img).alias("before"),
+        F.when(op != "d", img).alias("after"),
+        F.struct(
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+            (F.col("event_id") * 10).alias("lsn"),
+            F.lit(None).cast("long").alias("pos"),
+            F.lit("app").alias("db"),
+            F.lit("files").alias("table"),
+        ).alias("source"),
+        op.alias("op"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+    )
+    value = (
+        F.when(F.col("event_id") % 13 == 0, F.lit("xx{ not json"))
+        .when(
+            F.col("event_type") == "error", F.lit('{"not": "an envelope"}')
+        )
+        .otherwise(F.to_json(F.struct(payload.alias("payload"))))
+    )
+    parsed = parse_debezium(ev.select(value.alias("value")))
+    return (
+        parsed.filter(F.col("_parse_error").isNull())
+        .select(
+            "commit_seq",
+            "op",
+            "repo",
+            "path",
+            "commit",
+            "lang",
+            "content",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("ts"),
+            "size_bytes",
+        )
+        .orderBy("commit_seq")
+    )
+
+
+@q(
+    "src_maxwell_parse",
+    "WAL/binlog ingress: Maxwell envelope -> canonical changelog "
+    "(sources/debezium.py parse_maxwell). Maxwell differs from Debezium "
+    "everywhere it can: ts in SECONDS, row always in data (deletes too), "
+    "xid as commit_seq, word op codes incl bootstrap-insert; an unknown "
+    "type (table-create) must land in _parse_error, not the output",
+    """SELECT event_id * 7 + 1 AS commit_seq,
+              CASE WHEN event_type = 'signup' THEN 'insert'
+                   WHEN event_type IN ('click', 'view') THEN 'update'
+                   ELSE 'delete' END AS op,
+              'r' || CAST(user_id % 50 AS VARCHAR) AS repo,
+              'f' || CAST(event_id % 97 AS VARCHAR) || '.py' AS path,
+              'c' || CAST(event_id AS VARCHAR) AS "commit",
+              'py' AS lang,
+              props AS content,
+              strftime(date_trunc('second', ts),
+                       '%Y-%m-%d %H:%M:%S') AS ts,
+              CAST(strlen(props) AS BIGINT) AS size_bytes
+       FROM events WHERE event_type <> 'error'
+       ORDER BY commit_seq""",
+    note="signup splits across insert and bootstrap-insert (both must "
+    "normalize to insert); second-precision ts vs Debezium's millis "
+    "pins the two formats' different clock contracts",
+)
+def src_maxwell(spark, sf):
+    from ..sources.debezium import parse_maxwell
+
+    ev = _t(spark, sf, "events")
+    img = F.struct(
+        F.concat(F.lit("r"), (F.col("user_id") % 50).cast("string")).alias(
+            "repo"
+        ),
+        F.concat(
+            F.lit("f"), (F.col("event_id") % 97).cast("string"), F.lit(".py")
+        ).alias("path"),
+        F.concat(F.lit("c"), F.col("event_id").cast("string")).alias(
+            "commit"
+        ),
+        F.lit("py").alias("lang"),
+        F.col("props").alias("content"),
+        F.length("props").cast("long").alias("size_bytes"),
+    )
+    mtype = (
+        F.when(
+            (F.col("event_type") == "signup") & (F.col("user_id") % 2 == 0),
+            F.lit("bootstrap-insert"),
+        )
+        .when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type").isin("click", "view"), F.lit("update"))
+        .when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("table-create"))
+    )
+    value = F.to_json(
+        F.struct(
+            F.lit("app").alias("database"),
+            F.lit("files").alias("table"),
+            mtype.alias("type"),
+            F.unix_timestamp("ts").alias("ts"),
+            (F.col("event_id") * 7 + 1).alias("xid"),
+            F.lit(None).cast("string").alias("position"),
+            img.alias("data"),
+            F.lit(None).cast("string").alias("old"),
+        )
+    )
+    parsed = parse_maxwell(ev.select(value.alias("value")))
+    return (
+        parsed.filter(F.col("_parse_error").isNull())
+        .select(
+            "commit_seq",
+            "op",
+            "repo",
+            "path",
+            "commit",
+            "lang",
+            "content",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "size_bytes",
+        )
+        .orderBy("commit_seq")
+    )
+
+
+@q(
     "u4_exists_struct_array",
     "P1/U3 sql/vulnerabilities.sql:5 exists-over-struct-array (affected[]."
     "package shape)",
@@ -4632,8 +4806,11 @@ _DRIVER_PRIORITY = [
     "tx_fingerprint",
     "st_windowed_stats",
     "mg_priority_merge",
-    "mg_coalesce_fields",
-    "mg_richness_merge",
+    # WAL/binlog envelope ingress (new r5) takes the slots of the two
+    # r03-attested merge siblings (mg_priority_merge stays as the
+    # family representative; coalesce/richness keep their r03 rows)
+    "src_debezium_parse",
+    "src_maxwell_parse",
     "j2_broadcast_dim_join",
     "j3_point_lookup_join",
     "j4_hash_dedup_antijoin",
