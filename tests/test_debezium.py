@@ -149,3 +149,66 @@ def test_envelope_feeds_merge_sink_end_to_end(spark, tmp_path):
     rows = {(r["repo"], r["path"]): r["content"]
             for r in table.read().collect()}
     assert rows == {("r1", "a.py"): "v2"}
+
+
+def test_envelope_stream_resume_and_dlq(spark, tmp_path):
+    """Streaming WAL tail over raw Debezium JSON lines: first drain
+    applies the available files, a later drain with the SAME checkpoint
+    picks up only new files (offset resume), malformed lines land in an
+    epoch-named DLQ dir, and the final state equals the op sequence."""
+    from vuln_datasync_spark.streaming import run_stream
+
+    log = tmp_path / "envlog"
+    log.mkdir()
+    (log / "f0.jsonl").write_text(
+        _dbz("c", 1, path="a.py", content="v1") + "\n"
+        + "junk line\n"
+        + _dbz("c", 2, path="b.py", content="w1") + "\n"
+    )
+    table = run_stream(
+        spark,
+        str(log),
+        str(tmp_path / "tbl"),
+        str(tmp_path / "ckpt"),
+        schema=None,
+        envelope_format="debezium",
+        envelope_dlq_dir=str(tmp_path / "dlq"),
+    )
+    state = {r["path"]: r["content"] for r in table.read().collect()}
+    assert state == {"a.py": "v1", "b.py": "w1"}
+
+    # tail: update one key, delete the other; same checkpoint resumes
+    (log / "f1.jsonl").write_text(
+        _dbz("u", 3, path="a.py", content="v2") + "\n"
+        + _dbz("d", 4, path="b.py", content="w1") + "\n"
+    )
+    table = run_stream(
+        spark,
+        str(log),
+        str(tmp_path / "tbl"),
+        str(tmp_path / "ckpt"),
+        schema=None,
+        envelope_format="debezium",
+        envelope_dlq_dir=str(tmp_path / "dlq"),
+    )
+    state = {r["path"]: r["content"] for r in table.read().collect()}
+    assert state == {"a.py": "v2"}
+
+    # DLQ holds exactly the malformed line, under an epoch-named dir
+    bad = spark.read.parquet(str(tmp_path / "dlq" / "*")).collect()
+    assert [r["value"] for r in bad] == ["junk line"]
+    assert bad[0]["_parse_error"] == "malformed envelope"
+
+    # replaying from a FRESH checkpoint into the same table is a no-op
+    # batch-wise only if epochs match; a new checkpoint identity gets new
+    # epochs — but LWW monotonicity still makes the replay harmless
+    table = run_stream(
+        spark,
+        str(log),
+        str(tmp_path / "tbl"),
+        str(tmp_path / "ckpt2"),
+        schema=None,
+        envelope_format="debezium",
+    )
+    state = {r["path"]: r["content"] for r in table.read().collect()}
+    assert state == {"a.py": "v2"}

@@ -297,10 +297,21 @@ def run_stream(
     contract_rules: list[dict] | None = None,
     contract_mode: str = "reject",
     pool: str | None = None,
+    envelope_format: str | None = None,
+    envelope_dlq_dir: str | None = None,
 ):
     """Tail a changelog directory (file source stands in for the Iceberg/
     Kafka changelog; offsets live in the Structured Streaming checkpoint)
     and merge every micro-batch into the ManifestTable at ``table_root``.
+
+    ``envelope_format='debezium'|'maxwell'``: the directory holds raw
+    WAL/binlog envelope JSON (one per line — the shape a Kafka topic dump
+    has) instead of canonical parquet; each micro-batch is parsed with
+    sources/debezium.py before the merge, ``schema`` is ignored, and
+    malformed envelopes land in ``envelope_dlq_dir`` under an
+    epoch-named dir written with overwrite (at-least-once replays
+    rewrite the same rejects — DLQ idempotence matches the sink's
+    exactly-once, same convention as ``dlq_dir``).
 
     ``trigger(availableNow=True)`` drains everything currently available and
     stops — resumable: a later call with the same checkpoint continues from
@@ -329,16 +340,48 @@ def run_stream(
         table = table.for_branch(branch)
     ckpt_id = checkpoint_identity(checkpoint_dir)
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(changelog_dir)
+    if envelope_format not in (None, "debezium", "maxwell"):
+        raise ValueError(f"unknown envelope format: {envelope_format}")
+    if envelope_format is not None:
+        reader = spark.readStream
+        if max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", max_files_per_trigger
+            )
+        stream = reader.text(changelog_dir)
+    else:
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option(
+                "maxFilesPerTrigger", max_files_per_trigger
+            )
+        stream = reader.parquet(changelog_dir)
 
     def process(batch_df: DataFrame, batch_id: int):
         if pool is not None:
             from ..session import set_job_pool
 
             set_job_pool(spark, pool)
+        if envelope_format is not None:
+            from ..sources.debezium import parse_debezium, parse_maxwell
+
+            parse = (
+                parse_debezium
+                if envelope_format == "debezium"
+                else parse_maxwell
+            )
+            parsed = parse(batch_df, "value", keep_raw=True)
+            if envelope_dlq_dir:
+                parsed.filter(F.col("_parse_error").isNotNull()).select(
+                    F.col("_raw").alias("value"), "_parse_error"
+                ).write.mode("overwrite").parquet(
+                    os.path.join(
+                        envelope_dlq_dir, f"{ckpt_id}_{batch_id}"
+                    )
+                )
+            batch_df = parsed.filter(
+                F.col("_parse_error").isNull()
+            ).drop("_parse_error", "_raw")
         lineage = apply_batch(
             batch_df,
             table,
