@@ -212,3 +212,28 @@ def test_envelope_stream_resume_and_dlq(spark, tmp_path):
     )
     state = {r["path"]: r["content"] for r in table.read().collect()}
     assert state == {"a.py": "v2"}
+
+
+def test_cli_stream_envelope_format(spark, tmp_path, monkeypatch):
+    from vuln_datasync_spark import cli
+    from vuln_datasync_spark.sinks import ManifestTable
+
+    monkeypatch.setattr(cli, "_spark", lambda args: spark)
+    log = tmp_path / "cli_envlog"
+    log.mkdir()
+    (log / "f0.jsonl").write_text(
+        _dbz("c", 1, path="a.py", content="v1") + "\n"
+        + "junk\n"
+        + _dbz("u", 2, path="a.py", content="v2") + "\n"
+    )
+    tbl = str(tmp_path / "cli_tbl")
+    assert cli.main(
+        ["stream", "--changelog", str(log), "--table", tbl,
+         "--checkpoint", str(tmp_path / "cli_ckpt"),
+         "--envelope-format", "debezium",
+         "--envelope-dlq", str(tmp_path / "cli_dlq")]
+    ) == 0
+    t = ManifestTable(spark, tbl)
+    assert {r["content"] for r in t.read().collect()} == {"v2"}
+    bad = spark.read.parquet(str(tmp_path / "cli_dlq" / "*")).collect()
+    assert [r["value"] for r in bad] == ["junk"]

@@ -86,6 +86,8 @@ def cmd_stream(args) -> int:
         # long-lived tails drain on SIGINT/SIGTERM; the availableNow drain
         # exits on its own and must not clobber the host's handlers
         graceful_stop=args.processing_time is not None,
+        envelope_format=args.envelope_format,
+        envelope_dlq_dir=args.envelope_dlq,
     )
     return 0
 
@@ -872,6 +874,14 @@ def build_parser() -> argparse.ArgumentParser:
                    " default drains available files once (availableNow)")
     s.add_argument("--lww-mode", default="auto",
                    choices=["auto", "ordkey", "window", "salted", "maxby"])
+    s.add_argument("--envelope-format", default=None,
+                   choices=["debezium", "maxwell"],
+                   help="the changelog dir holds raw WAL/binlog envelope "
+                   "JSON lines instead of canonical parquet; parse with "
+                   "sources/debezium.py before the merge")
+    s.add_argument("--envelope-dlq", default=None,
+                   help="parquet dir for malformed envelopes (epoch-named "
+                   "subdirs, idempotent overwrite per replay)")
     s.set_defaults(fn=cmd_stream)
 
     e = sub.add_parser("export", help="snapshot export")
