@@ -203,12 +203,22 @@ def _worker_eps(master: str, log_dir: str) -> float:
     return json.loads(line)["events_per_sec"]
 
 
-def run_scaling(log_dir: str) -> dict:
+def run_scaling(
+    log_dir: str,
+    scale_n: int | None = None,
+    scale_4n: int | None = None,
+    reps: int | None = None,
+) -> dict:
     """Same job at N and 4N cores, fresh JVM each (BASELINE.md evidence).
 
     The sandbox host's effective speed drifts over time (shared
     hypervisor), so the two levels are measured INTERLEAVED, repeated, and
-    compared by median — each pair shares machine conditions."""
+    compared by median — each pair shares machine conditions. Defaults
+    come from SPARK_GRAFT_SCALE_N/4N/REPS; pass explicit values for the
+    second evidence matrix (8->32)."""
+    scale_n = int(SCALE_N) if scale_n is None else scale_n
+    scale_4n = int(SCALE_4N) if scale_4n is None else scale_4n
+    reps = SCALE_REPS if reps is None else reps
     # stage the log into tmpfs: the shared virtio disk's read bandwidth
     # varies 5x minute-to-minute and would dominate the comparison
     if os.path.isdir("/dev/shm"):
@@ -216,25 +226,26 @@ def run_scaling(log_dir: str) -> dict:
         if not os.path.exists(staged):
             shutil.copytree(log_dir, staged)
         log_dir = staged
-    a, b = f"local[{SCALE_N}]", f"local[{SCALE_4N}]"
+    factor = scale_4n / scale_n
+    a, b = f"local[{scale_n}]", f"local[{scale_4n}]"
     runs = {a: [], b: []}
     ratios, hw_ratios = [], []
-    for _ in range(SCALE_REPS):
-        hw_n = _cpu_capacity(int(SCALE_N))
+    for _ in range(reps):
+        hw_n = _cpu_capacity(scale_n)
         ea = _worker_eps(a, log_dir)
         eb = _worker_eps(b, log_dir)
-        hw_4n = _cpu_capacity(int(SCALE_4N))
+        hw_4n = _cpu_capacity(scale_4n)
         runs[a].append(ea)
         runs[b].append(eb)
-        ratios.append(eb / (4.0 * ea))
-        hw_ratios.append(hw_4n / (4.0 * hw_n))
+        ratios.append(eb / (factor * ea))
+        hw_ratios.append(hw_4n / (factor * hw_n))
     med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
     res = {
         a: med(runs[a]),
         b: med(runs[b]),
         "runs": runs,
-        "n": int(SCALE_N),
-        "4n": int(SCALE_4N),
+        "n": scale_n,
+        "4n": scale_4n,
         # per-pair ratios: each N/4N pair runs back-to-back, so the pair
         # shares host conditions even though the shared-hypervisor host
         # drifts across minutes; medians are the robust estimates.
@@ -725,13 +736,19 @@ def main():
     spark.stop()
     skew = bench_skew()
 
-    scaling = None
+    scaling = scaling_wide = None
     if not skip_scaling:
         scale_log = (
             log_dir if SCALE_EVENTS == N_EVENTS else ensure_changelog(SCALE_EVENTS)
         )
         scaling = run_scaling(scale_log)
         scaling["events"] = SCALE_EVENTS
+        # second evidence matrix per the round-5 brief: the SAME job at
+        # local[8] vs local[32] ("N and 4N executors" at cluster-like
+        # widths). 3 reps — the wide pair is noisier on a shared 32-core
+        # microVM, and the stall rule already discards polluted pairs.
+        scaling_wide = run_scaling(scale_log, 8, 32, 3)
+        scaling_wide["events"] = SCALE_EVENTS
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
@@ -747,6 +764,7 @@ def main():
         "token_index": token,
         "skew": skew,
         "scaling": scaling,
+        "scaling_8_32": scaling_wide,
     }
     print(json.dumps(out))
 

@@ -237,3 +237,37 @@ def test_cli_stream_envelope_format(spark, tmp_path, monkeypatch):
     assert {r["content"] for r in t.read().collect()} == {"v2"}
     bad = spark.read.parquet(str(tmp_path / "cli_dlq" / "*")).collect()
     assert [r["value"] for r in bad] == ["junk"]
+
+
+def test_envelope_fuzz_roundtrip(spark):
+    """Property fuzz: random well-formed envelopes always parse to the
+    planted row; random junk never crashes the parser and always gets a
+    _parse_error. One Spark job over the whole corpus (not per-example)."""
+    import random
+
+    rng = random.Random(42)
+    rows, want = [], {}
+    for i in range(300):
+        kind = rng.randrange(4)
+        if kind == 0:  # debezium well-formed
+            op = rng.choice(["c", "r", "u", "d"])
+            content = "".join(
+                rng.choice('abc"\\\n\t {}[]:,é中') for _ in range(rng.randrange(0, 24))
+            )
+            rows.append((i, _dbz(op, 1000 + i, path=f"p{i}.py", content=content)))
+            want[1000 + i] = (
+                {"c": "insert", "r": "insert", "u": "update", "d": "delete"}[op],
+                content,
+            )
+        elif kind == 1:  # junk text
+            rows.append((i, "".join(rng.choice("{}:,x\"'") for _ in range(rng.randrange(0, 30)))))
+        elif kind == 2:  # valid JSON, wrong shape
+            rows.append((i, json.dumps({"a": rng.randrange(9), "b": [1, 2]})))
+        else:  # envelope with unknown op
+            rows.append((i, _dbz("z", 2000 + i)))
+    df = spark.createDataFrame(rows, "i int, value string")
+    out = parse_debezium(df).collect()
+    good = {r["commit_seq"]: r for r in out if r["_parse_error"] is None}
+    assert {k: (v["op"], v["content"]) for k, v in good.items()} == want
+    # every non-well-formed input is accounted for with a reason
+    assert sum(1 for r in out if r["_parse_error"] is not None) == len(rows) - len(want)
