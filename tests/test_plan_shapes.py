@@ -217,3 +217,35 @@ def test_kmv_merge_estimate_input_is_sketch_sized(spark):
     sk = kmv_sketch(df, ["seg"], "v", k=32).localCheckpoint()
     plan = _plan(kmv_merge_estimate(sk, k=32))
     assert "FileScan" not in plan and "parquet" not in plan.lower()
+
+
+def test_envelope_parse_is_map_only(spark):
+    """Debezium/Maxwell parsing is pure from_json projection: any
+    Exchange (or Python evaluation) in the parse plan is a regression —
+    at 10^10 events the parse must fan out with the scan partitions."""
+    from vuln_datasync_spark.sources.debezium import (
+        parse_debezium,
+        parse_maxwell,
+    )
+
+    df = spark.createDataFrame([("{}",)], "value string")
+    for parse in (parse_debezium, parse_maxwell):
+        plan = _plan(parse(df))
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_y4m_frame_sampling_no_shuffle_before_stats(spark):
+    """sample_frames_y4m decodes and reduces INSIDE the scan partition
+    (mapInPandas); the video bytes must never hit an Exchange."""
+    from vuln_datasync_spark.operators.multimodal import (
+        planted_y4m_table,
+        sample_frames_y4m,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("doc_id") < 50
+    )
+    plan = _plan(sample_frames_y4m(planted_y4m_table(d, "doc_id")))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan
