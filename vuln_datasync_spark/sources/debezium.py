@@ -189,3 +189,62 @@ def envelope_to_changelog(
         bad.write.mode("append").parquet(dlq_path)
         parsed = parsed.drop("_raw")
     return parsed.filter(F.col("_parse_error").isNull()).drop("_parse_error")
+
+
+def feed_to_debezium(
+    feed: DataFrame,
+    db: str = "app",
+    table_name: str = "files",
+    seq_col: str = "commit_seq",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CDC EGRESS (outbox pattern): render a change feed
+    (``ManifestTable.read_changes`` rows, ``_change_type`` in
+    {insert, update, delete}) as Debezium envelope JSON lines — the
+    mirror of :func:`parse_debezium`, so downstream consumers that speak
+    the de-facto wire format can tail this engine's tables. Inserts emit
+    op ``c`` with the row in ``after``; updates op ``u`` with ``after``
+    only (the post-image feed form — same contract as a source without
+    REPLICA IDENTITY FULL); deletes op ``d`` with the last-seen row in
+    ``before``. Map-only ``to_json``; round-trips through
+    :func:`parse_debezium` bit-exactly (tested).
+
+    Sequence contract: feed delete rows carry the LAST-SEEN OLD values
+    (Delta-CDF convention), including the old row's ``seq_col`` — a
+    replayed delete at that seq would TIE with the row it retracts and
+    lose the LWW tiebreak. Deletes are therefore emitted with
+    ``lsn = old_seq + 1``, the same synthesized-tombstone convention as
+    ``delete_where``: safe per key, because between the old row's seq
+    and the true delete there is by definition no other live event for
+    that key (the feed would have surfaced it as the last-seen state).
+
+    Returns a one-column ``value`` frame ready for ``df.write.text`` /
+    a Kafka sink."""
+    img_cols = [
+        c for c in feed.columns if c not in ("_change_type", "_bucket")
+    ]
+    img = F.struct(*[F.col(c) for c in img_cols])
+    is_del = F.col("_change_type") == "delete"
+    op = (
+        F.when(F.col("_change_type") == "insert", F.lit("c"))
+        .when(F.col("_change_type") == "update", F.lit("u"))
+        .when(is_del, F.lit("d"))
+    )
+    payload = F.struct(
+        F.when(is_del, img).alias("before"),
+        F.when(~is_del, img).alias("after"),
+        F.struct(
+            F.unix_millis(F.col(ts_col).cast("timestamp")).alias("ts_ms"),
+            F.when(is_del, F.col(seq_col).cast("long") + 1)
+            .otherwise(F.col(seq_col).cast("long"))
+            .alias("lsn"),
+            F.lit(None).cast("long").alias("pos"),
+            F.lit(db).alias("db"),
+            F.lit(table_name).alias("table"),
+        ).alias("source"),
+        op.alias("op"),
+        F.unix_millis(F.col(ts_col).cast("timestamp")).alias("ts_ms"),
+    )
+    return feed.select(
+        F.to_json(F.struct(payload.alias("payload"))).alias("value")
+    )
