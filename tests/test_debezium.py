@@ -3,6 +3,7 @@ selection, seq/ts contracts, malformed-row accounting, DLQ split, and the
 end-to-end hop into the exactly-once MERGE sink."""
 
 import json
+import os
 
 from pyspark.sql import functions as F
 
@@ -308,3 +309,65 @@ def test_feed_to_debezium_roundtrip(spark, tmp_path):
     sa = {(r["repo"], r["path"], r["content"]) for r in a.read().collect()}
     sb = {(r["repo"], r["path"], r["content"]) for r in b.read().collect()}
     assert sa == sb == {("r1", "a.py", "v2")}
+
+
+def test_envelope_outbox_sync_cursor_and_idempotence(spark, tmp_path):
+    """Outbox: cursor advances per sync, nothing-new returns None, a
+    replayed window overwrites the same snap dir, and a second engine
+    tailing the outbox dirs reproduces the source state."""
+    from vuln_datasync_spark.sinks import ManifestTable
+    from vuln_datasync_spark.sources.debezium import sync_envelope_outbox
+    from vuln_datasync_spark.streaming import apply_batch
+
+    a = ManifestTable.create(spark, str(tmp_path / "a"), n_buckets=4)
+    out = str(tmp_path / "outbox")
+
+    apply_batch(envelope_to_changelog(spark.createDataFrame(
+        [(_dbz("c", 1, path="a.py", content="v1"),),
+         (_dbz("c", 2, path="b.py", content="w1"),)], "value string")),
+        a, "src", 0)
+    r1 = sync_envelope_outbox(a, out)
+    assert r1 is not None and r1["rows_published"] == 2
+    assert sync_envelope_outbox(a, out) is None  # current -> no-op
+
+    apply_batch(envelope_to_changelog(spark.createDataFrame(
+        [(_dbz("u", 3, path="a.py", content="v2"),),
+         (_dbz("d", 4, path="b.py", content="w1"),)], "value string")),
+        a, "src", 1)
+    r2 = sync_envelope_outbox(a, out)
+    assert r2 is not None and r2["rows_published"] == 2
+
+    # a mirror engine tailing the outbox reproduces the source state
+    b = ManifestTable.create(spark, str(tmp_path / "b"), n_buckets=2)
+    for i, d in enumerate(sorted(
+        p for p in os.listdir(out) if p.startswith("snap=")
+    )):
+        ch = envelope_to_changelog(spark.read.text(os.path.join(out, d)))
+        apply_batch(ch, b, "mirror", i)
+    sa = {(r["path"], r["content"]) for r in a.read().collect()}
+    sb = {(r["path"], r["content"]) for r in b.read().collect()}
+    assert sa == sb == {("a.py", "v2")}
+
+
+def test_cli_sync_outbox(spark, tmp_path, capsys, monkeypatch):
+    from vuln_datasync_spark import cli
+    from vuln_datasync_spark.sinks import ManifestTable
+    from vuln_datasync_spark.streaming import apply_batch
+
+    monkeypatch.setattr(cli, "_spark", lambda args: spark)
+    tbl = str(tmp_path / "cli_out_tbl")
+    a = ManifestTable.create(spark, tbl, n_buckets=2)
+    apply_batch(envelope_to_changelog(spark.createDataFrame(
+        [(_dbz("c", 1),)], "value string")), a, "src", 0)
+    out = str(tmp_path / "cli_outbox")
+    assert cli.main(["sync-outbox", "--table", tbl, "--out", out]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["rows_published"] == 1
+    assert parse_debezium(
+        spark.read.text(rec["dir"])
+    ).filter(F.col("_parse_error").isNotNull()).count() == 0
+    # current -> no-op
+    assert cli.main(["sync-outbox", "--table", tbl, "--out", out]) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    ) == {"status": "current"}

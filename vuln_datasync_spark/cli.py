@@ -363,6 +363,27 @@ def cmd_sync_token(args) -> int:
     return 0
 
 
+def cmd_sync_outbox(args) -> int:
+    """Publish the table's change feed as Debezium envelope JSON lines
+    (the CDC outbox — consumable by any Debezium-speaking system or by
+    this engine's own `stream --envelope-format debezium`)."""
+    from .sinks.manifest_table import ManifestTable
+    from .sources.debezium import sync_envelope_outbox
+
+    spark = _spark(args)
+    table = ManifestTable(spark, args.table)
+    rec = sync_envelope_outbox(
+        table,
+        args.out,
+        consumer_id=args.consumer,
+        db=args.db,
+        table_name=args.table_name,
+        reset_on_missing_base=args.reset_on_missing_base,
+    )
+    print(json.dumps(rec or {"status": "current"}))
+    return 0
+
+
 def cmd_validate(args) -> int:
     """Run declarative data-contract rules against a table and print the
     violation report as JSON lines (``--strict`` exits 1 on any
@@ -1028,6 +1049,18 @@ def build_parser() -> argparse.ArgumentParser:
     stk.add_argument("--consumer", default="token-index")
     stk.add_argument("--reset-on-missing-base", action="store_true")
     stk.set_defaults(fn=cmd_sync_token)
+
+    sox = sub.add_parser(
+        "sync-outbox",
+        help="publish the change feed as Debezium envelopes (CDC egress)",
+    )
+    sox.add_argument("--table", required=True)
+    sox.add_argument("--out", required=True)
+    sox.add_argument("--consumer", default="envelope-outbox")
+    sox.add_argument("--db", default="app")
+    sox.add_argument("--table-name", default="files")
+    sox.add_argument("--reset-on-missing-base", action="store_true")
+    sox.set_defaults(fn=cmd_sync_outbox)
 
     lk = sub.add_parser(
         "lookup", help="point lookup by key (or --alias via the index)"

@@ -26,6 +26,8 @@ LWW resolver.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -248,3 +250,44 @@ def feed_to_debezium(
     return feed.select(
         F.to_json(F.struct(payload.alias("payload"))).alias("value")
     )
+
+
+def sync_envelope_outbox(
+    table,
+    out_dir: str,
+    consumer_id: str = "envelope-outbox",
+    db: str = "app",
+    table_name: str = "files",
+    reset_on_missing_base: bool = False,
+) -> dict | None:
+    """Resumable CDC outbox: tail the table's change feed with a
+    per-consumer cursor (``consume_changes``) and publish each advance
+    as Debezium envelope JSON lines under
+    ``{out_dir}/snap={to_snapshot_id}/`` — the file-system stand-in for
+    a Kafka topic partition, consumable by :func:`parse_debezium`, this
+    engine's own ``run_stream(envelope_format='debezium')``, or any
+    Debezium-speaking system.
+
+    Idempotence matches the feed contract: delivery is at-least-once on
+    a (from, to) window, and the snapshot-named directory is written
+    with overwrite — a crash between publish and cursor advance replays
+    the SAME window into the SAME directory. Work per sync ∝ touched
+    buckets in the delta, never table size; the render is map-only
+    ``to_json``. Returns the advance record (from/to snapshot, rows
+    published) or None when current."""
+    stats: dict = {}
+
+    def handler(feed, frm, to):
+        env = feed_to_debezium(feed, db=db, table_name=table_name)
+        dest = os.path.join(out_dir, f"snap={to}")
+        env.write.mode("overwrite").text(dest)
+        stats["rows_published"] = table.spark.read.text(dest).count()
+        stats["dir"] = dest
+
+    rec = table.consume_changes(
+        consumer_id, handler, reset_on_missing_base=reset_on_missing_base
+    )
+    if rec is None:
+        return None
+    rec.update(stats)
+    return rec
