@@ -371,3 +371,39 @@ def test_cli_sync_outbox(spark, tmp_path, capsys, monkeypatch):
     assert json.loads(
         capsys.readouterr().out.strip().splitlines()[-1]
     ) == {"status": "current"}
+
+
+def test_feed_to_maxwell_roundtrip(spark, tmp_path):
+    """Maxwell egress round-trips through the engine's own Maxwell
+    ingress and reproduces the source state in a mirror table."""
+    from vuln_datasync_spark.sinks import ManifestTable
+    from vuln_datasync_spark.sources.debezium import (
+        feed_to_maxwell,
+        parse_maxwell,
+    )
+    from vuln_datasync_spark.streaming import apply_batch
+
+    a = ManifestTable.create(spark, str(tmp_path / "ma"), n_buckets=4)
+    apply_batch(envelope_to_changelog(spark.createDataFrame(
+        [(_dbz("c", 1, path="a.py", content="v1"),),
+         (_dbz("c", 2, path="b.py", content="w1"),)], "value string")),
+        a, "src", 0)
+    apply_batch(envelope_to_changelog(spark.createDataFrame(
+        [(_dbz("u", 3, path="a.py", content="v2"),),
+         (_dbz("d", 4, path="b.py", content="w1"),)], "value string")),
+        a, "src", 1)
+
+    b = ManifestTable.create(spark, str(tmp_path / "mb"), n_buckets=2)
+    snaps = [s["snapshot_id"] for s in a.snapshots()]
+    for i, (frm, to) in enumerate(zip([None] + snaps, snaps)):
+        env = feed_to_maxwell(a.read_changes(frm, to))
+        parsed = parse_maxwell(env)
+        assert parsed.filter(F.col("_parse_error").isNotNull()).count() == 0
+        apply_batch(
+            parsed.filter(F.col("_parse_error").isNull())
+            .drop("_parse_error"),
+            b, "mmirror", i,
+        )
+    sa = {(r["path"], r["content"]) for r in a.read().collect()}
+    sb = {(r["path"], r["content"]) for r in b.read().collect()}
+    assert sa == sb == {("a.py", "v2")}

@@ -291,3 +291,39 @@ def sync_envelope_outbox(
         return None
     rec.update(stats)
     return rec
+
+
+def feed_to_maxwell(
+    feed: DataFrame,
+    db: str = "app",
+    table_name: str = "files",
+    seq_col: str = "commit_seq",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Maxwell-format egress (the mirror of :func:`parse_maxwell`):
+    every op type carries the row in ``data`` (Maxwell deletes included),
+    ``ts`` is SECONDS, ``xid`` is the sequence. Deletes emit
+    ``xid = old_seq + 1`` for the same per-key LWW-tiebreak reason as
+    :func:`feed_to_debezium`. Round-trips through :func:`parse_maxwell`
+    (tested)."""
+    img_cols = [
+        c for c in feed.columns if c not in ("_change_type", "_bucket")
+    ]
+    img = F.struct(*[F.col(c) for c in img_cols])
+    is_del = F.col("_change_type") == "delete"
+    return feed.select(
+        F.to_json(
+            F.struct(
+                F.lit(db).alias("database"),
+                F.lit(table_name).alias("table"),
+                F.col("_change_type").alias("type"),
+                F.unix_timestamp(F.col(ts_col).cast("timestamp")).alias(
+                    "ts"
+                ),
+                F.when(is_del, F.col(seq_col).cast("long") + 1)
+                .otherwise(F.col(seq_col).cast("long"))
+                .alias("xid"),
+                img.alias("data"),
+            )
+        ).alias("value")
+    )
