@@ -109,3 +109,23 @@ def test_learn_bpe_min_freq_early_stop(spark):
     # min_freq=1 learns something, still deterministically
     m1 = learn_bpe(df, "text", n_merges=3, min_freq=1)
     assert m1 == learn_bpe(df, "text", n_merges=3, min_freq=1) and len(m1) == 3
+
+
+def test_cli_learn_bpe(spark, tmp_path, capsys, monkeypatch):
+    import json as _json
+
+    from vuln_datasync_spark import cli
+
+    monkeypatch.setattr(cli, "_spark", lambda args: spark)
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(t,) for t in CORPUS], "text string"
+    ).write.parquet(src)
+    out = str(tmp_path / "merges")
+    assert cli.main(
+        ["learn-bpe", "--input", src, "--merges", "8", "--out", out]
+    ) == 0
+    rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["merges_learned"] == 8
+    mt = spark.read.parquet(out).orderBy("rank").collect()
+    assert [(r["left"], r["right"]) for r in mt] == reference_learn(CORPUS, 8)

@@ -384,6 +384,23 @@ def cmd_sync_outbox(args) -> int:
     return 0
 
 
+def cmd_learn_bpe(args) -> int:
+    """Induce a BPE tokenizer from a parquet corpus and write the merge
+    table (rank, left, right) — the artifact a tokenizer ships."""
+    from .operators.bpe import learn_bpe, merges_table
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    merges = learn_bpe(
+        df, args.text_col, n_merges=args.merges, min_freq=args.min_freq
+    )
+    merges_table(spark, merges).coalesce(1).write.mode("overwrite").parquet(
+        args.out
+    )
+    print(json.dumps({"merges_learned": len(merges), "out": args.out}))
+    return 0
+
+
 def cmd_validate(args) -> int:
     """Run declarative data-contract rules against a table and print the
     violation report as JSON lines (``--strict`` exits 1 on any
@@ -1061,6 +1078,16 @@ def build_parser() -> argparse.ArgumentParser:
     sox.add_argument("--table-name", default="files")
     sox.add_argument("--reset-on-missing-base", action="store_true")
     sox.set_defaults(fn=cmd_sync_outbox)
+
+    bpe = sub.add_parser(
+        "learn-bpe", help="induce a BPE tokenizer (merge table) from parquet"
+    )
+    bpe.add_argument("--input", required=True, help="parquet corpus dir")
+    bpe.add_argument("--text-col", default="text")
+    bpe.add_argument("--merges", type=int, default=200)
+    bpe.add_argument("--min-freq", type=int, default=2)
+    bpe.add_argument("--out", required=True, help="merge-table parquet dir")
+    bpe.set_defaults(fn=cmd_learn_bpe)
 
     lk = sub.add_parser(
         "lookup", help="point lookup by key (or --alias via the index)"
