@@ -129,3 +129,34 @@ def test_cli_learn_bpe(spark, tmp_path, capsys, monkeypatch):
     assert rec["merges_learned"] == 8
     mt = spark.read.parquet(out).orderBy("rank").collect()
     assert [(r["left"], r["right"]) for r in mt] == reference_learn(CORPUS, 8)
+
+
+def test_cli_tokenize_with_shipped_merges(spark, tmp_path, capsys, monkeypatch):
+    import json as _json
+
+    from vuln_datasync_spark import cli
+
+    monkeypatch.setattr(cli, "_spark", lambda args: spark)
+    src = str(tmp_path / "corpus2")
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id int, text string"
+    ).write.parquet(src)
+    merges_dir = str(tmp_path / "m2")
+    assert cli.main(
+        ["learn-bpe", "--input", src, "--merges", "6", "--out", merges_dir]
+    ) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "toks")
+    assert cli.main(
+        ["tokenize", "--input", src, "--merges", merges_dir, "--out", out]
+    ) == 0
+    rec = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["rows"] == len(CORPUS)
+    got = {r["doc_id"]: list(r["tokens"])
+           for r in spark.read.parquet(out).collect()}
+    ranks = {m: i for i, m in enumerate(reference_learn(CORPUS, 6))}
+    for i, t in enumerate(CORPUS):
+        want = []
+        for w in t.lower().split():
+            want.extend(bpe_encode_word(w, ranks))
+        assert got[i] == want

@@ -401,6 +401,25 @@ def cmd_learn_bpe(args) -> int:
     return 0
 
 
+def cmd_tokenize(args) -> int:
+    """Tokenize a parquet corpus with a shipped BPE merge table
+    (learn-bpe output) — map-only encode, tokens written alongside the
+    input columns."""
+    from .operators.bpe import apply_bpe, load_merges
+
+    spark = _spark(args)
+    merges = load_merges(spark, args.merges)
+    df = spark.read.parquet(args.input)
+    out = apply_bpe(df, args.text_col, merges, out_col=args.tokens_col)
+    out.write.mode("overwrite").parquet(args.out)
+    print(
+        json.dumps(
+            {"rows": spark.read.parquet(args.out).count(), "out": args.out}
+        )
+    )
+    return 0
+
+
 def cmd_validate(args) -> int:
     """Run declarative data-contract rules against a table and print the
     violation report as JSON lines (``--strict`` exits 1 on any
@@ -1088,6 +1107,16 @@ def build_parser() -> argparse.ArgumentParser:
     bpe.add_argument("--min-freq", type=int, default=2)
     bpe.add_argument("--out", required=True, help="merge-table parquet dir")
     bpe.set_defaults(fn=cmd_learn_bpe)
+
+    tok = sub.add_parser(
+        "tokenize", help="apply a BPE merge table to a parquet corpus"
+    )
+    tok.add_argument("--input", required=True, help="parquet corpus dir")
+    tok.add_argument("--merges", required=True, help="merge-table parquet")
+    tok.add_argument("--text-col", default="text")
+    tok.add_argument("--tokens-col", default="tokens")
+    tok.add_argument("--out", required=True)
+    tok.set_defaults(fn=cmd_tokenize)
 
     lk = sub.add_parser(
         "lookup", help="point lookup by key (or --alias via the index)"

@@ -185,3 +185,11 @@ def apply_bpe(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
     return df.mapInPandas(op, schema=f"{schema}, {out_col} array<string>")
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Read a merge table written by ``merges_table(...)`` /
+    CLI ``learn-bpe`` back into the ordered list ``apply_bpe`` takes.
+    Merge tables are tiny (n_merges rows) — driver-side by design."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["left"], r["right"]) for r in rows]
