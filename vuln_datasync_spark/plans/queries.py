@@ -32,6 +32,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fan(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the session's task slots before a
+    compute-heavy map stage (per-row md5/shingle/codec work).
+
+    The fixture tables are single-file, single-row-group parquet —
+    UNSPLITTABLE, so every scan starts at exactly one task no matter how
+    many cores the session has and the whole map stage runs serially
+    (the "one huge unsplittable file" input-skew case). A round-robin
+    repartition to ``defaultParallelism`` is a tiny shuffle of the scan
+    output that unlocks full parallelism for the expensive stage above
+    it. Scale-adaptive, not a local constant: when the input already has
+    at least as many partitions as the session has slots (any real
+    multi-file table), this is a NO-OP — no exchange is added."""
+    sc = df.sparkSession.sparkContext
+    par = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def ensure_shipped(spark: SparkSession) -> None:
     """Ship this package to executors via addPyFile (idempotent per
     session). Python workers import pickled-by-reference module functions
@@ -827,7 +847,7 @@ _SHINGLE_SQL = (
 def dd_minhash(spark, sf):
     from ..operators.dedup import minhash_lsh_candidates
 
-    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    d = _fan(_t(spark, sf, "documents").filter(F.col("doc_id") < 200))
     return minhash_lsh_candidates(d, "text", "doc_id", k=8, bands=4).orderBy(
         "id_a", "id_b"
     )
@@ -958,7 +978,7 @@ def dd_jaccard(spark, sf):
 def dd_simhash(spark, sf):
     from ..operators.dedup import simhash_pairs
 
-    d = _t(spark, sf, "documents")
+    d = _fan(_t(spark, sf, "documents"))
     return simhash_pairs(d, "text", "doc_id", max_hamming=10).orderBy(
         "id_a", "id_b"
     )
@@ -1174,7 +1194,7 @@ def tx_tokens(spark, sf):
     from ..functions.text import bpe_ish_token_count, punct_count, token_count
 
     return (
-        _t(spark, sf, "documents")
+        _fan(_t(spark, sf, "documents"))
         .select(
             "doc_id",
             token_count("text").alias("n_tokens"),
@@ -1677,7 +1697,7 @@ def tx_quality(spark, sf):
     from ..functions.text import quality_score
 
     return (
-        _t(spark, sf, "documents")
+        _fan(_t(spark, sf, "documents"))
         .select("doc_id", quality_score("text").alias("quality"))
         .orderBy("doc_id")
     )
@@ -1717,7 +1737,7 @@ def tx_langid(spark, sf):
     from ..functions.text import lang_id
 
     return (
-        _t(spark, sf, "documents")
+        _fan(_t(spark, sf, "documents"))
         .select("doc_id", lang_id("text").alias("pred_lang"))
         .orderBy("doc_id")
     )
@@ -1739,7 +1759,7 @@ def tx_fingerprint(spark, sf):
     from ..functions.text import doc_fingerprint
 
     return (
-        _t(spark, sf, "documents")
+        _fan(_t(spark, sf, "documents"))
         .select("doc_id", doc_fingerprint("text").alias("fingerprint"))
         .orderBy("doc_id")
     )
