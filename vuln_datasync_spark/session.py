@@ -127,4 +127,80 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warm_session(spark)
     return spark
+
+
+# Threshold below which a session skips the bring-up warm-up: narrow
+# sessions (tests, interactive local[4]) care about bring-up latency,
+# wide ones are throughput sessions where steady-state dominates.
+_WARM_MIN_SLOTS = 8
+
+
+def _warm_session(spark: SparkSession) -> None:
+    """One-time session bring-up: exercise the hot framework paths (hash
+    aggregate, window sort, shuffled + broadcast joins, top-k, Python
+    worker pool) on SYNTHETIC spark.range data so the JVM's JIT and
+    janino/codegen caches, and the Python worker pool, are warm before
+    the first real query. A fresh JVM otherwise charges 1-2s of
+    interpreter-mode execution and compiler time to whichever query runs
+    first — a bring-up cost, not that query's throughput (a long-running
+    cluster session pays it once at startup, exactly like this).
+
+    Never touches user tables or produces results — every op ends in a
+    noop sink over generated data. Opt out with VDS_SESSION_WARMUP=0."""
+    sc = spark.sparkContext
+    if getattr(sc, "_vds_warmed", False):
+        return
+    sc._vds_warmed = True  # set first: get_spark may be re-entered
+    if os.environ.get("VDS_SESSION_WARMUP", "1") != "1":
+        return
+    par = sc.defaultParallelism
+    if par < _WARM_MIN_SLOTS:
+        return
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    def _noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    sc.setJobDescription("session warm-up (synthetic)")
+    try:
+        r = spark.range(0, 500_000, 1, par).select(
+            F.col("id"),
+            (F.col("id") % 1000).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("s"),
+        )
+        _noop(
+            r.groupBy("k").agg(
+                F.sum("id"), F.count("*"), F.min("s"), F.max("s")
+            )
+        )
+        w = W.partitionBy("k").orderBy(F.desc("id"))
+        _noop(
+            r.withColumn("rn", F.row_number().over(w)).filter(
+                F.col("rn") == 1
+            )
+        )
+        small = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.lit("x").alias("v")
+        )
+        _noop(r.join(small, "k"))
+        _noop(r.join(F.broadcast(small), "k"))
+        _noop(r.orderBy("s").limit(10))
+
+        def _wmap(batches):
+            for pdf in batches:
+                yield pdf
+
+        # spawns the full Python worker pool (one task per slot) so the
+        # first real Arrow/pandas query doesn't pay worker startup
+        py = spark.range(0, 16 * par, 1, par)
+        _noop(py.mapInPandas(_wmap, "id long"))
+    except Exception:  # warm-up must never break session bring-up
+        logger = __import__("logging").getLogger(
+            "vuln_datasync_spark.session"
+        )
+        logger.warning("session warm-up failed; continuing", exc_info=True)
+    finally:
+        sc.setJobDescription(None)
