@@ -67,11 +67,29 @@ def stopword_hits(text: Column | str, lang: str) -> Column:
     return F.size(F.array_intersect(toks, bank))
 
 
-def lang_id(text: Column | str) -> Column:
-    """Stopword-ratio language ID over {en,de,es,fr}; 'und' when no bank
-    hits. Deterministic tie-break by bank order."""
+def stopword_hits_from_tokens(toks: Column, lang: str) -> Column:
+    """Count of distinct stopwords of ``lang`` present in a pre-computed
+    DISTINCT token array (see :func:`distinct_tokens`). Take this form
+    when the token array lives in its own projection — referencing a
+    derived token expression from several bank counts re-evaluates the
+    whole split per bank (Catalyst does not subexpression-eliminate
+    across them)."""
+    bank = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(toks, bank))
+
+
+def distinct_tokens(text: Column | str) -> Column:
+    """Distinct lowercase whitespace tokens — the stopword-bank basis."""
     c = F.col(text) if isinstance(text, str) else text
-    scores = [(lang, stopword_hits(c, lang)) for lang in STOPWORDS]
+    return F.array_distinct(tokens(F.lower(c)))
+
+
+def lang_id_from_hits(hits: dict[str, Column]) -> Column:
+    """Argmax pick over per-bank hit-count COLUMNS (one per language, in
+    STOPWORDS bank order); 'und' when no bank hits. Materialize the hit
+    counts in a projection first so the when-chain compares cheap
+    attributes instead of re-evaluating each bank count ~3x."""
+    scores = [(lang, hits[lang]) for lang in STOPWORDS]
     best = scores[0][1]
     for _, s in scores[1:]:
         best = F.greatest(best, s)
@@ -81,14 +99,38 @@ def lang_id(text: Column | str) -> Column:
     return expr
 
 
-def word_ngrams(text: Column | str, n: int = 5) -> Column:
-    """Array of word n-grams (space-joined) — fingerprint/shingle basis."""
+def lang_id(text: Column | str) -> Column:
+    """Stopword-ratio language ID over {en,de,es,fr}; 'und' when no bank
+    hits. Deterministic tie-break by bank order.
+
+    Single-expression form (recomputes the token split per bank — fine
+    for occasional use); hot paths should project
+    :func:`distinct_tokens` then the per-bank
+    :func:`stopword_hits_from_tokens` columns and finish with
+    :func:`lang_id_from_hits`."""
     c = F.col(text) if isinstance(text, str) else text
-    toks = tokens(c)
+    return lang_id_from_hits(
+        {lang: stopword_hits(c, lang) for lang in STOPWORDS}
+    )
+
+
+def word_ngrams_of_tokens(toks: Column, n: int = 5) -> Column:
+    """Array of word n-grams over a PRE-COMPUTED token array column.
+    ``toks`` should be a plain attribute (projected first): an expression
+    captured inside the transform lambda is re-evaluated once per n-gram
+    position — O(len²) token splitting per row otherwise."""
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
+
+
+def word_ngrams(text: Column | str, n: int = 5) -> Column:
+    """Array of word n-grams (space-joined) — fingerprint/shingle basis.
+    Single-expression form; hot paths should project :func:`tokens` and
+    call :func:`word_ngrams_of_tokens` (see its note)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return word_ngrams_of_tokens(tokens(c), n)
 
 
 def doc_fingerprint(text: Column | str, n: int = 5) -> Column:
@@ -98,13 +140,24 @@ def doc_fingerprint(text: Column | str, n: int = 5) -> Column:
     return F.array_min(F.transform(word_ngrams(text, n), F.md5))
 
 
-def char_shingles(text: Column | str, k: int = 5) -> Column:
-    """Distinct lowercase character k-shingles (minhash/Jaccard basis)."""
-    c = F.col(text) if isinstance(text, str) else text
-    lowered = F.lower(c)
+def shingles_of_lowered(lowered: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles over an ALREADY-LOWERED column.
+    ``lowered`` should be a plain attribute (projected first): an
+    expression captured inside the transform lambda is re-evaluated once
+    per shingle position — O(len²) lowering per row otherwise."""
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(lowered) - (k - 1), F.lit(1))),
+            F.sequence(
+                F.lit(1), F.greatest(F.length(lowered) - (k - 1), F.lit(1))
+            ),
             lambda i: F.substring(lowered, i, k),
         )
     )
+
+
+def char_shingles(text: Column | str, k: int = 5) -> Column:
+    """Distinct lowercase character k-shingles (minhash/Jaccard basis).
+    Single-expression form; hot paths should project ``lower(text)`` and
+    call :func:`shingles_of_lowered` (see its note)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return shingles_of_lowered(F.lower(c), k)

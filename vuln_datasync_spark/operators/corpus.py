@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import char_shingles
+from ..functions.text import shingles_of_lowered
 
 
 def _md5_fraction(col: Column, salt: str) -> Column:
@@ -133,14 +133,29 @@ def contamination_report(
     to its distinct shingle vocabulary (map-side combine), LEFT SEMI join
     the benchmark shingles against it, count per doc. Shuffle is ∝
     vocabulary size; no document ever pairs with another document."""
-    bench_sh = benchmark.select(
-        F.col(id_col),
-        F.explode(char_shingles(F.col(text_col), shingle_k)).alias("_s"),
-    ).dropDuplicates([id_col, "_s"])
+    # lower(text) projected before the shingle transform references it
+    # (a captured lower() re-evaluates per shingle position — see
+    # functions/text.py shingles_of_lowered)
+    bench_sh = (
+        benchmark.select(
+            F.col(id_col), F.lower(F.col(text_col)).alias("_low")
+        )
+        .select(
+            F.col(id_col),
+            F.explode(shingles_of_lowered(F.col("_low"), shingle_k)).alias(
+                "_s"
+            ),
+        )
+        .dropDuplicates([id_col, "_s"])
+    )
     corpus_sh = (
-        corpus.select(
-            F.explode(char_shingles(F.col(text_col), shingle_k)).alias("_s")
-        ).distinct()
+        corpus.select(F.lower(F.col(text_col)).alias("_low"))
+        .select(
+            F.explode(shingles_of_lowered(F.col("_low"), shingle_k)).alias(
+                "_s"
+            )
+        )
+        .distinct()
     )
     totals = bench_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     hits = (

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.text import char_shingles
+from ..functions.text import shingles_of_lowered
 
 logger = logging.getLogger("vuln_datasync_spark.dedup")
 
@@ -124,9 +124,23 @@ def minhash_expr(shingles: Column, i: int) -> Column:
 def minhash_signature(
     df: DataFrame, text_col: str, k: int = 8, shingle_k: int = 5
 ) -> DataFrame:
-    sh = char_shingles(F.col(text_col), shingle_k)
-    return df.withColumn(
-        "minhash", F.array(*[minhash_expr(sh, i) for i in range(k)])
+    # Materialize lower(text) and then the shingle array in their OWN
+    # projections before the k minhash lanes reference them. Inlining
+    # char_shingles into each lane duplicates the whole shingle
+    # construction k times in the generated code (Catalyst does not
+    # subexpression-eliminate across the array() elements), and a
+    # lower() captured inside the transform lambda is re-evaluated per
+    # shingle position. Measured (5k docs, local[32]): 0.24s inlined vs
+    # 0.15s projected steady-state, ~2s vs 0.2s on a cold JVM where
+    # janino also compiles the k copies.
+    return (
+        df.withColumn("_sh_low", F.lower(F.col(text_col)))
+        .withColumn("_sh", shingles_of_lowered(F.col("_sh_low"), shingle_k))
+        .withColumn(
+            "minhash",
+            F.array(*[minhash_expr(F.col("_sh"), i) for i in range(k)]),
+        )
+        .drop("_sh_low", "_sh")
     )
 
 
@@ -242,15 +256,22 @@ def ngram_jaccard_pairs(
     # branches: the hot-shingle cap action and both self-join sides. Same
     # fix as minhash_lsh_candidates' signature frame above: materialize it
     # ONCE with localCheckpoint so the shingle explode doesn't replay ~3x.
-    sh = df.select(
+    # lower(text) projected before the shingle transform references it —
+    # a captured lower() re-evaluates per shingle position (see
+    # shingles_of_lowered)
+    low = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(char_shingles(F.col(text_col), shingle_k)).alias("s"),
+        F.lower(F.col(text_col)).alias("_low"),
+    )
+    sh = low.select(
+        "_id",
+        F.explode(shingles_of_lowered(F.col("_low"), shingle_k)).alias("s"),
     ).localCheckpoint(eager=True)
     # |A| per doc straight off the (distinct-element) shingle array — no
     # explode, no groupBy shuffle, one fewer execution of the upstream
-    sizes = df.select(
-        F.col(id_col).alias("_id"),
-        F.size(char_shingles(F.col(text_col), shingle_k)).alias("n"),
+    sizes = low.select(
+        "_id",
+        F.size(shingles_of_lowered(F.col("_low"), shingle_k)).alias("n"),
     )
     if max_shingle_df is not None:
         sh = _cap_hot_groups(sh, ["s"], max_shingle_df, "ngram_jaccard")

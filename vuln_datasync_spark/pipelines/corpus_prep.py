@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import lang_id, quality_score
+from ..functions.text import quality_score
 from ..operators.dedup import (
     dedup_clusters,
     exact_dedup,
@@ -57,11 +57,43 @@ def prepare_training_corpus(
     surviving docs only — the hash makes them stable if upstream stages
     change)."""
     d1 = exact_dedup(docs, text_col, id_col).select(id_col, text_col)
-    scored = d1.select(
-        F.col(id_col),
-        F.col(text_col),
-        F.round(quality_score(text_col), 4).alias("quality"),
-        lang_id(text_col).alias("pred_lang"),
+    # distinct tokens and per-bank hit counts in their own projections:
+    # the argmax when-chain then compares attributes instead of
+    # re-running the token split per bank reference (functions/text.py
+    # lang_id_from_hits)
+    from ..functions.text import (
+        STOPWORDS,
+        distinct_tokens,
+        lang_id_from_hits,
+        stopword_hits_from_tokens,
+    )
+
+    scored = (
+        d1.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.round(quality_score(text_col), 4).alias("quality"),
+            distinct_tokens(text_col).alias("_toks"),
+        )
+        .select(
+            id_col,
+            text_col,
+            "quality",
+            *[
+                stopword_hits_from_tokens(F.col("_toks"), lang).alias(
+                    f"_h_{lang}"
+                )
+                for lang in STOPWORDS
+            ],
+        )
+        .select(
+            id_col,
+            text_col,
+            "quality",
+            lang_id_from_hits(
+                {lang: F.col(f"_h_{lang}") for lang in STOPWORDS}
+            ).alias("pred_lang"),
+        )
     )
     d2 = scored.filter(
         (F.col("quality") >= min_quality)

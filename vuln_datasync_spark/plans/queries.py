@@ -1734,11 +1734,33 @@ _BANKS_SQL = {
         FROM s ORDER BY doc_id""",
 )
 def tx_langid(spark, sf):
-    from ..functions.text import lang_id
+    # two projections: the distinct-token array, then the four bank-hit
+    # counts, so the argmax when-chain compares attributes instead of
+    # re-running the token split ~12x (see functions/text.py
+    # lang_id_from_hits)
+    from ..functions.text import (
+        STOPWORDS,
+        distinct_tokens,
+        lang_id_from_hits,
+        stopword_hits_from_tokens,
+    )
 
+    hits = {
+        lang: F.col(f"_h_{lang}") for lang in STOPWORDS
+    }
     return (
         _fan(_t(spark, sf, "documents"))
-        .select("doc_id", lang_id("text").alias("pred_lang"))
+        .select("doc_id", distinct_tokens("text").alias("_toks"))
+        .select(
+            "doc_id",
+            *[
+                stopword_hits_from_tokens(F.col("_toks"), lang).alias(
+                    f"_h_{lang}"
+                )
+                for lang in STOPWORDS
+            ],
+        )
+        .select("doc_id", lang_id_from_hits(hits).alias("pred_lang"))
         .orderBy("doc_id")
     )
 
@@ -1756,11 +1778,20 @@ def tx_langid(spark, sf):
         FROM w ORDER BY doc_id""",
 )
 def tx_fingerprint(spark, sf):
-    from ..functions.text import doc_fingerprint
+    # tokens projected before the n-gram transform references them — a
+    # captured token-split re-evaluates per n-gram position (see
+    # functions/text.py word_ngrams_of_tokens)
+    from ..functions.text import tokens, word_ngrams_of_tokens
 
     return (
         _fan(_t(spark, sf, "documents"))
-        .select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+        .select("doc_id", tokens("text").alias("_toks"))
+        .select(
+            "doc_id",
+            F.array_min(
+                F.transform(word_ngrams_of_tokens(F.col("_toks"), 5), F.md5)
+            ).alias("fingerprint"),
+        )
         .orderBy("doc_id")
     )
 
