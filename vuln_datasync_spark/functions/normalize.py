@@ -154,15 +154,27 @@ def reject_events(events: DataFrame) -> DataFrame:
     )
 
 
-def normalize_events(events: DataFrame) -> DataFrame:
-    """Canonicalize a raw change-event batch:
+def validate_events(events: DataFrame) -> DataFrame:
+    """Required-field validation only (drop events missing key/op —
+    reference analog: required-field filters, osv/fetcher.go:539-541).
+    Must run BEFORE any LWW reduce: an invalid row may carry the highest
+    sequence for its key, and dropping it after the reduce would lose the
+    valid runner-up."""
+    return events.filter(_reject_reason().isNull())
+
+
+def enrich_events(events: DataFrame) -> DataFrame:
+    """Derived per-row columns:
 
     * fill missing ``lang`` via the vectorized detector (never on deletes),
-    * compute ``content_sha256`` (the per-row invariant column),
-    * validate required fields (drop events missing key/op — reference
-      analog: required-field filters, osv/fetcher.go:539-541).
-    """
-    ev = events.filter(_reject_reason().isNull())
+    * compute ``content_sha256`` (the per-row invariant column).
+
+    Row-local and independent of the LWW order/key columns, so the batch
+    pipeline applies it AFTER the LWW reduce: the sniff's Arrow round
+    trip and the sha256 then run on one row per KEY instead of every
+    event, and the 64-char sha never rides the reduce shuffle (at 10^10
+    events per batch that is the difference between hashing the log and
+    hashing the state)."""
     # lang resolution ladder: existing value -> JVM-side extension map ->
     # pandas-UDF content sniff. The UDF's input columns are NULLED OUT
     # JVM-side for rows already resolved, so Arrow ships ~nothing to Python
@@ -175,10 +187,19 @@ def normalize_events(events: DataFrame) -> DataFrame:
     sniffed = detect_lang_udf(
         F.when(needs_sniff, F.col("path")), F.when(needs_sniff, F.col("content"))
     )
-    ev = ev.withColumn(
+    ev = events.withColumn(
         "lang",
         F.when(F.col("op") == "delete", F.lit(None).cast("string")).otherwise(
             F.coalesce(jvm_lang, sniffed)
         ),
     )
     return ev.withColumn("content_sha256", content_sha256(F.col("content")))
+
+
+def normalize_events(events: DataFrame) -> DataFrame:
+    """Canonicalize a raw change-event batch: validate required fields,
+    fill ``lang``, compute ``content_sha256``
+    (= ``enrich_events(validate_events(events))``; the batch pipeline
+    calls the two halves separately so enrichment runs on the reduced
+    winner set — see ``enrich_events``)."""
+    return enrich_events(validate_events(events))

@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.observation import Observation
 
-from ..functions.normalize import normalize_events, reject_events
+from ..functions.normalize import (
+    enrich_events,
+    normalize_events,
+    reject_events,
+    validate_events,
+)
 from ..operators.lww import lww_resolve, lww_resolve_partial
 from ..sinks.manifest_table import ManifestTable
 
@@ -170,19 +175,33 @@ def apply_batch(
         )
     lww_mode = _resolve_lww_mode(events, lww_mode)
     obs = Observation()
-    ev = normalize_events(events).observe(
-        obs,
-        F.min("commit_seq").alias("seq_start"),
-        F.max("commit_seq").alias("seq_end"),
-    )
     if partial_update:
+        # partial semantics fill lang/sha per EVENT before the reduce
+        # (a sniffed lang is a real value for the latest-non-null fill),
+        # so the full normalize stays pre-reduce here
+        ev = normalize_events(events).observe(
+            obs,
+            F.min("commit_seq").alias("seq_start"),
+            F.max("commit_seq").alias("seq_end"),
+        )
         winners = lww_resolve_partial(ev)
     else:
-        winners = lww_resolve(
-            ev,
-            mode=lww_mode,
-            n_salts=n_salts,
-            broadcast_winners=broadcast_winners,
+        # validate pre-reduce (an invalid row must not beat a valid one),
+        # enrich POST-reduce: the lang sniff's Arrow round trip and the
+        # sha256 run once per key instead of once per event, and the
+        # 64-char sha column never rides the LWW shuffle
+        ev = validate_events(events).observe(
+            obs,
+            F.min("commit_seq").alias("seq_start"),
+            F.max("commit_seq").alias("seq_end"),
+        )
+        winners = enrich_events(
+            lww_resolve(
+                ev,
+                mode=lww_mode,
+                n_salts=n_salts,
+                broadcast_winners=broadcast_winners,
+            )
         )
 
     def seq_range():
