@@ -95,6 +95,16 @@ def get_spark(
         # 'auto'); 64m comfortably covers a few-million-key winner set
         # while still forcing giant backfill batches onto the shuffle path
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
+        # AQE coalescing runs parallelism-first (Spark default) but its
+        # 1m minPartitionSize floor still collapses small shuffles to 1-2
+        # partitions, serializing every window/aggregate above them. 64k
+        # keeps small-input stages parallel; on production-scale shuffles
+        # partitions sit far above either floor, so the knob is inert
+        # there (it bounds nothing from above). Override with
+        # VDS_AQE_MIN_PARTITION_SIZE.
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+            "VDS_AQE_MIN_PARTITION_SIZE", "64k"
+        ),
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.compression.codec": "zstd",
