@@ -199,6 +199,29 @@ def _warm_session(spark: SparkSession) -> None:
         _noop(r.join(F.broadcast(small), "k"))
         _noop(r.orderBy("s").limit(10))
 
+        # higher-order array functions (transform / array_distinct /
+        # array_min over md5) — the shingle/minhash family's eval path
+        sh = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(28)),
+                lambda i: F.substring(F.col("s"), i, 5),
+            )
+        )
+        _noop(
+            spark.range(0, 20_000, 1, par)
+            .select(F.md5(F.col("id").cast("string")).alias("s"))
+            .withColumn("sh", sh)
+            .select(
+                F.array_min(
+                    F.transform(
+                        F.col("sh"),
+                        lambda x: F.md5(F.concat(x, F.lit(":0"))),
+                    )
+                ).alias("m"),
+                F.posexplode(F.slice(F.col("sh"), 1, 2)),
+            )
+        )
+
         def _wmap(batches):
             for pdf in batches:
                 yield pdf
