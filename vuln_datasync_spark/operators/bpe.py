@@ -121,10 +121,17 @@ def learn_bpe(
                 yield pd.DataFrame({"symbols": out, "n": pdf["n"]})
 
         # localCheckpoint per iteration: keeps the plan flat (no k-deep
-        # UDF lineage) and the data is vocabulary-scale, not corpus-scale
+        # UDF lineage) and the data is vocabulary-scale, not corpus-scale.
+        # The PREVIOUS generation's checkpoint blocks are released as soon
+        # as the new one is materialized (eager=True) — without the
+        # unpersist, up to n_merges cached generations pile up in the
+        # block manager until the ContextCleaner happens to run.
+        prev = words
         words = words.mapInPandas(
             apply_one, schema="symbols array<string>, n long"
         ).localCheckpoint(eager=True)
+        prev.rdd.unpersist()  # every generation (incl. pre-loop) is
+        # a localCheckpoint, so prev always holds droppable blocks
     return merges
 
 

@@ -371,6 +371,13 @@ def decode_y4m(raw: bytes) -> tuple[np.ndarray, int, int]:
                 raise ValueError(f"unsupported colorspace {t}")
     if w is None or h is None:
         raise ValueError("missing W/H in stream header")
+    if not c444 and (w % 2 or h % 2):
+        # the 2x pixel-double upsample of w//2 x h//2 chroma can never
+        # reach odd luma dimensions — fail with a clear message instead
+        # of an opaque numpy shape mismatch at np.stack
+        raise ValueError(
+            f"C420 requires even dimensions, got {w}x{h}"
+        )
     cw, ch_ = (w, h) if c444 else (w // 2, h // 2)
     fsize = w * h + 2 * cw * ch_
     frames = []
