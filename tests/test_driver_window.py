@@ -11,20 +11,32 @@ from vuln_datasync_spark.plans.queries import (
     query_map,
 )
 
-# the round-5 must-attest block: never-attested + r04-red + new entries
-ROUND5_CRITICAL = [
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "samp_source_quota",
-    "tx_unigram_quality",
-    "decon_index_search",
-    "dq_validate_report",
-    "mg_alias_closure",
-    "sim_quantize_int8",
-    "tx_pack_sequences",
-    "ev_sessionize",
-    "cdc_change_feed",
-    "meta_count_rows",
+# the round-6 must-attest block: entries whose latest driver attestation
+# was r03 (the r05 verdict's staleness list — attestation must not age
+# past two rounds)
+ROUND6_CRITICAL = [
+    "a1_total_count",
+    "a2_count_by_source",
+    "a3_count_by_ecosystem",
+    "f5_summary_truncation",
+    "f11_json_field_extract",
+    "m6_deterministic_id",
+    "m7_id_validation",
+    "m8_content_hash",
+    "mg_coalesce_fields",
+    "mg_richness_merge",
+    "mm_binary_metadata",
+    "mm_extract_features",
+    "mm_sample_frames",
+    "o1_topk_recent",
+    "o2_pagination_offset",
+    "o3_priority_pickup",
+    "o5_recent_activity",
+    "p4_required_field_filter",
+    "p9_recency_filter",
+    "u1_multi_source_union",
+    "u3_array_membership",
+    "w1_running_total",
 ]
 
 
@@ -37,7 +49,7 @@ def test_window_is_exactly_50_valid_unique_names():
 
 
 def test_critical_block_leads_the_window():
-    assert _DRIVER_PRIORITY[: len(ROUND5_CRITICAL)] == ROUND5_CRITICAL
+    assert _DRIVER_PRIORITY[: len(ROUND6_CRITICAL)] == ROUND6_CRITICAL
 
 
 def test_query_map_order_and_oracle_coverage():

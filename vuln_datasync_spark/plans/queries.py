@@ -4808,76 +4808,68 @@ def dq_validate(spark, sf):
 # past position 50 remain covered by check_parity + pytest and by their
 # r02/r03 driver rows.
 _DRIVER_PRIORITY = [
-    # -- round-5 window (exactly 50 names). Positions 1-12: the entries
-    # the r04 verdict flagged — 6 never driver-attested (they sorted past
-    # position 50 every round), 4 that failed r04 on driver-side
-    # canonicalization (array cells / HUGEINT dtype — projections and
-    # oracles fixed this round), and the 2 entries new this round.
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "samp_source_quota",
-    "tx_unigram_quality",
-    "decon_index_search",
-    "dq_validate_report",
-    "mg_alias_closure",
-    "sim_quantize_int8",
-    "tx_pack_sequences",
-    "ev_sessionize",
-    "cdc_change_feed",
-    "meta_count_rows",
-    # -- positions 13-50: re-attest load-bearing / this-round-touched
-    # entries (ngram perf fix, multimodal decode upgrade) plus a rotation
-    # of r03-only attested ones. Everything below has >=1 green driver
-    # row already; entries past 50 keep judge-parity + pytest coverage.
-    "m2_cdc_lww_tombstones",
-    "m1_lww_last_event_per_user",
-    "q1_tpch_pricing_summary",
-    "j1_priority_dedup_join",
-    "dd_ngram_jaccard",
+    # -- round-6 window (exactly 50 names). Optimization round: no new
+    # catalog entries. Positions 1-22: the entries whose latest driver
+    # attestation is r03 (the r05 verdict's staleness list) — no entry's
+    # attestation should age past two rounds. Positions 23-35: entries
+    # whose implementation this round's optimizations touched (scan
+    # fan-out, shingle/token projection, lang-id hit-count projection,
+    # post-reduce enrichment) — re-attest after refactor. Positions
+    # 36-50: the remaining headline-bench entries plus load-bearing CDC
+    # rows. Everything past 50 keeps judge-parity + pytest coverage and
+    # its earlier driver rows.
+    "a1_total_count",
+    "a2_count_by_source",
+    "a3_count_by_ecosystem",
+    "f5_summary_truncation",
+    "f11_json_field_extract",
+    "m6_deterministic_id",
+    "m7_id_validation",
+    "m8_content_hash",
+    "mg_coalesce_fields",
+    "mg_richness_merge",
+    "mm_binary_metadata",
+    "mm_extract_features",
+    "mm_sample_frames",
+    "o1_topk_recent",
+    "o2_pagination_offset",
+    "o3_priority_pickup",
+    "o5_recent_activity",
+    "p4_required_field_filter",
+    "p9_recency_filter",
+    "u1_multi_source_union",
+    "u3_array_membership",
+    "w1_running_total",
+    # -- touched by this round's optimizations
     "dd_minhash_lsh_candidates",
+    "dd_ngram_jaccard",
     "dd_simhash_pairs",
-    # real-decode multimodal entries supersede the stub-plumbing pair in
-    # the window (mm_extract_features / mm_resize keep their r03/r04 rows)
-    "mm_decode_ppm_features",
-    "mm_resize_ppm",
-    "mm_decode_wav_features",
-    "mm_resample_wav",
-    # real Y4M video entries supersede the stub-plumbing pair
-    # (mm_sample_frames / mm_binary_metadata keep their r03/r04 rows)
-    "mm_decode_y4m_features",
-    "mm_sample_y4m_frames",
-    "sim_cosine_topk",
-    "sim_ann_lsh_topk",
-    "sim_embedding_neardup",
-    "sim_ivf_topk",
-    "sim_centroid_by_label",
+    "dd_index_dedup",
+    "dd_dedup_clusters",
+    "corpus_prepare",
+    "decon_contamination",
     "tx_token_stats",
     "tx_quality_score",
     "tx_lang_id",
     "tx_fingerprint",
-    "st_windowed_stats",
-    "mg_priority_merge",
-    # WAL/binlog envelope ingress (new r5) takes the slots of the two
-    # r03-attested merge siblings (mg_priority_merge stays as the
-    # family representative; coalesce/richness keep their r03 rows)
-    "src_debezium_parse",
-    "src_maxwell_parse",
+    "ev_sessionize",
+    "cdc_scd2_history",
+    # -- remaining headline-bench + load-bearing CDC entries
+    "q1_tpch_pricing_summary",
+    "q3_shipping_priority",
+    "j1_priority_dedup_join",
     "j2_broadcast_dim_join",
-    "j3_point_lookup_join",
-    "j4_hash_dedup_antijoin",
-    "j5_semi_join_exists",
-    "j6_anti_join_not_exists",
-    "w2_sessionization",
-    "a4_multi_metric_stats",
-    "a5_state_pivot_counts",
-    "a6_rollup_counts",
-    "a7_array_dedup_union",
+    "m1_lww_last_event_per_user",
+    "agg_kmv_distinct",
     "agg_kmv_union",
+    "sim_cosine_topk",
+    "j9_interval_join",
     "dd_editdist_verify",
-    # p4_required_field_filter / f11_json_field_extract rotated out for
-    # the two WAV real-decode entries, o2_pagination_offset for
-    # agg_kmv_union, o1_topk_recent for dd_editdist_verify (all attested
-    # r03; still covered by judge parity + pytest)
+    "mm_decode_ppm_features",
+    "m2_cdc_lww_tombstones",
+    "w2_sessionization",
+    "cdc_change_feed",
+    "meta_count_rows",
 ]
 
 
