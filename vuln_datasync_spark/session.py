@@ -230,6 +230,24 @@ def _warm_session(spark: SparkSession) -> None:
             )
         )
 
+        # Pre-compile the engine's hottest operator codegen shape on
+        # synthetic rows: the k-lane minhash signature generates a large
+        # class whose janino compile (~1s) otherwise serializes EVERY
+        # task of the first real signature stage behind the compile lock
+        # (measured: 34s summed task time, 4.5s CPU — 87% lock wait).
+        # Identical expression shape -> codegen cache hit at query time.
+        from .operators.dedup import minhash_signature
+
+        synth_docs = spark.range(0, 64 * par, 1, par).select(
+            F.col("id").alias("doc_id"),
+            F.md5(F.col("id").cast("string")).alias("text"),
+        )
+        _noop(
+            minhash_signature(synth_docs, "text", 8).select(
+                F.col("doc_id").alias("_id"), "minhash"
+            )
+        )
+
         def _wmap(batches):
             for pdf in batches:
                 yield pdf
